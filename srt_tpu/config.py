@@ -1,0 +1,97 @@
+"""Configuration dataclasses.
+
+The reference has compile-time flags only (``src/main.cpp:133-139`` —
+``RUN_COMPUTE_RT/RUN_RT/REND_TO_TEX/SHOW_MODEL``, ``WIDTH/HEIGHT``) plus
+kernel-side hard-coded camera/sampling settings
+(``shaders/raytrace_compute.glsl:366-384``).  Here everything is a runtime
+dataclass; the static fields are hashable so configs can be passed as
+``static_argnums`` to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Camera settings (reference ``CameraSettings``, camera.h:16-28).
+
+    ``viewport_mode``:
+      * ``"reference"`` — square 1x1 viewport at ``focus_dist`` regardless of
+        aspect, exactly like ``GetCamera`` (raytrace_compute.glsl:47-76) where
+        ``viewU = u*focusDist`` and ``viewV = v*focusDist`` (anisotropic
+        pixels when width != height — a documented reference quirk).
+      * ``"vfov"`` — viewport derived from ``vfov`` degrees and the true
+        aspect ratio (square pixels; what the reference's vFov field was
+        presumably meant to do).
+    """
+
+    width: int = 256
+    height: int = 256
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    look_at: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    v_up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    vfov: float = 90.0
+    focus_dist: float = 1.0
+    defocus_angle: float = 0.0
+    viewport_mode: str = "reference"
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Path-tracing settings.
+
+    ``max_depth``/``rr_bounces``: the reference bounce loop
+    (raytrace_compute.glsl:224-290) is ``while(true)`` with ``maxDepth`` free
+    bounces then Russian roulette forever.  TPU needs static shapes, so we run
+    ``max_depth + rr_bounces`` masked iterations; paths still alive after that
+    are terminated as if they missed (throughput * sky added, see
+    ``sky_always``).
+
+    ``sky_always``: the reference adds ``throughput * sky`` at loop exit
+    regardless of the exit reason (raytrace_compute.glsl:292) — even for
+    RR-killed paths.  ``True`` reproduces that; ``False`` only credits sky to
+    paths that exited on an actual miss (physically standard).
+
+    ``flip_mesh_normals``: the reference uses the raw geometric triangle
+    normal without facing it toward the ray (ray_intersects.glsl:90,
+    raytrace_compute.glsl:157) so back-facing hits kill the path via
+    ``dot(N, V) <= 0`` (brdf.glsl:242).  ``True`` (default) flips the normal
+    to face the incoming ray, like the sphere path's ``SetFaceNormal``
+    (raytrace_utils.glsl:23-26).
+    """
+
+    max_depth: int = 5
+    rr_bounces: int = 3
+    spp: int = 1
+    t_min: float = 1e-3
+    sky_color: Tuple[float, float, float] = (0.05, 0.05, 0.05)
+    sky_gradient: bool = False
+    sky_always: bool = True
+    flip_mesh_normals: bool = True
+    ray_tile: int = 2048  # rays per Pallas kernel tile
+
+
+# Reference defaults (src/main.cpp:137-138, raytrace_compute.glsl:366-384).
+REFERENCE_WIDTH = 1000
+REFERENCE_HEIGHT = 800
+
+SPHERES_CAMERA = CameraConfig(
+    width=REFERENCE_WIDTH,
+    height=REFERENCE_HEIGHT,
+    origin=(0.0, 0.0, 0.0),
+    look_at=(0.0, 0.0, -1.0),
+)
+
+MODEL_CAMERA = CameraConfig(
+    width=REFERENCE_WIDTH,
+    height=REFERENCE_HEIGHT,
+    origin=(0.0, 20.0, 20.0),
+    look_at=(0.0, 1.0, -1.0),
+)

@@ -1,0 +1,255 @@
+"""The wavefront path tracer — the heart of the framework.
+
+TPU-native re-design of the reference GLSL megakernel's path-trace loop
+(``GetRayColor``, shaders/raytrace_compute.glsl:208-294).  Instead of one
+thread per pixel running a divergent ``while(true)``, the whole image is a
+``[N = H*W]`` ray wavefront and each bounce is one batched pass:
+
+  closest hit -> RIS light sample -> shadow ray -> direct lighting
+  -> BRDF lobe selection -> Russian roulette -> indirect bounce
+
+with an ``alive`` mask instead of ``break`` (TPU needs static shapes, see
+SURVEY.md hard-part #3).  The loop runs ``max_depth`` free bounces plus
+``rr_bounces`` Russian-roulette bounces; still-alive paths are then
+terminated as a miss.
+
+Scene geometry is abstracted behind a ``closest_hit(origins, dirs, t_min,
+t_max) -> Hit`` callable so spheres (this file) and BVH meshes
+(srt_tpu.models.mesh) share one integrator.  Everything is pure jnp and
+differentiable w.r.t. scene parameters; discrete choices (hit index, lobe,
+RR, light pick) are treated as fixed decisions, so gradients flow through
+hit distances, normals, and shading — the standard path-space gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import chex
+import jax
+import jax.numpy as jnp
+
+from srt_tpu.camera import derive_viewport, generate_rays
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.ops import brdf
+from srt_tpu.ops import intersect
+from srt_tpu.ops.rng import ArrayStream, KeyStream
+from srt_tpu.scene import Lights, Materials, Spheres
+
+
+@chex.dataclass(frozen=True)
+class Hit:
+    """Per-ray hit record (reference ``HitRecord``, raytrace_types.glsl)."""
+
+    hit: jnp.ndarray      # [N] bool
+    t: jnp.ndarray        # [N]
+    p: jnp.ndarray        # [N, 3]
+    normal: jnp.ndarray   # [N, 3] unit, facing the ray
+    mat: Materials        # per-ray gathered material
+
+
+HitFn = Callable[[jnp.ndarray, jnp.ndarray, float, jnp.ndarray], Hit]
+
+
+def spheres_hit_fn(spheres: Spheres) -> HitFn:
+    """Closest-hit closure over a sphere scene (``CheckHit`` sphere loop,
+    raytrace_compute.glsl:122-141)."""
+
+    def closest_hit(origins, dirs, t_min, t_max):
+        hit, t, idx = intersect.sphere_hit(
+            origins, dirs, spheres.center, spheres.radius, t_min, t_max
+        )
+        t_safe = jnp.where(hit, t, 1.0)
+        p = origins + t_safe[:, None] * dirs
+        normal, _front = intersect.sphere_normal(
+            p, spheres.center[idx], spheres.radius[idx], dirs
+        )
+        return Hit(hit=hit, t=t, p=p, normal=normal, mat=spheres.materials.take(idx))
+
+    return closest_hit
+
+
+def _occluded(closest_hit: HitFn, p, light_pos, t_min):
+    """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
+    cast p -> light, occluded if anything hits before the light."""
+    delta = light_pos - p
+    dist = jnp.linalg.norm(delta, axis=-1)
+    direction = delta / jnp.maximum(dist, 1e-12)[:, None]
+    shadow = closest_hit(p, direction, t_min, dist)
+    return shadow.hit
+
+
+def _sky(dirs, cfg: RenderConfig):
+    """Sky radiance: constant dark grey by default, or the RTiOW blue
+    gradient (both appear at raytrace_compute.glsl:219-220)."""
+    if not cfg.sky_gradient:
+        return jnp.asarray(cfg.sky_color, jnp.float32)[None, :]
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    a = 0.5 * (d[:, 1] + 1.0)
+    white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+    return (1.0 - a)[:, None] * white + a[:, None] * blue
+
+
+def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
+                    stream, cfg: RenderConfig) -> jnp.ndarray:
+    """Trace an ``[N]`` ray batch to radiance ``[N, 3]``.
+
+    ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
+    documented per-bounce order (ops/rng.py) so the numpy oracle can replay
+    the exact same randomness.
+    """
+    n = origins.shape[0]
+    num_lights = lights.count
+    n_bounces = cfg.max_depth + cfg.rr_bounces
+
+    throughput = jnp.ones((n, 3), jnp.float32)
+    color = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    for bounce in range(n_bounces):
+        rec = closest_hit(origins, dirs, cfg.t_min, jnp.full((n,), jnp.inf))
+        active = alive & rec.hit
+
+        # Paths that miss exit with sky * throughput
+        # (raytrace_compute.glsl:287-292).
+        missed = alive & ~rec.hit
+        color = color + jnp.where(
+            missed[:, None], throughput * _sky(dirs, cfg), 0.0
+        )
+        alive = active
+
+        view = -dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+
+        # --- RIS light sampling + direct lighting (glsl:228-246) ---
+        u_idx = stream.take(num_lights)
+        u_sel = stream.take(num_lights)
+        sampled, light_idx, light_w = brdf.sample_lights_ris(
+            rec.p, lights, u_idx, u_sel
+        )
+        l_pos = lights.position[light_idx]
+        l_col = lights.color[light_idx]
+        l_int = lights.intensity[light_idx]
+
+        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min)
+        shadow_mult = jnp.where(occ, 0.0, 1.0)
+
+        direct_spec = brdf.sample_direct(
+            rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
+        ) * light_w[:, None]
+
+        l_dir = brdf.light_dir_to(rec.p, l_pos)
+        falloff = brdf.light_falloff(rec.p, l_pos)
+        light_term = l_col * (falloff * l_int * light_w)[:, None]
+        direct_diff = (
+            brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
+            * shadow_mult[:, None] * light_term
+        )
+
+        direct = jnp.where(rec.mat.use_spec[:, None], direct_spec, direct_diff)
+        add = active & sampled
+        color = color + jnp.where(add[:, None], throughput * direct, 0.0)
+
+        # --- BRDF lobe selection (glsl:248-264) ---
+        u_lobe = stream.take(1)[:, 0]
+        forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
+        prob = brdf.brdf_probability(rec.mat, view, rec.normal)
+        chose_spec = u_lobe < prob
+        take_spec = forced_spec | chose_spec
+        lobe_scale = jnp.where(
+            forced_spec,
+            1.0,
+            jnp.where(chose_spec, 1.0 / prob, 1.0 / (1.0 - prob)),
+        )
+        throughput = jnp.where(
+            active[:, None], throughput * lobe_scale[:, None], throughput
+        )
+
+        # --- Russian roulette (glsl:266-274) ---
+        u_rr = stream.take(1)[:, 0]
+        if bounce >= cfg.max_depth:
+            survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
+            died = active & (u_rr > survival)
+            if cfg.sky_always:
+                # Reference adds sky * throughput on *every* exit (glsl:292).
+                color = color + jnp.where(
+                    died[:, None], throughput * _sky(dirs, cfg), 0.0
+                )
+            survived = active & ~died
+            throughput = jnp.where(
+                survived[:, None], throughput / survival[:, None], throughput
+            )
+            active = survived
+            alive = active
+
+        # --- Indirect bounce (glsl:276-285) ---
+        u4 = stream.take(4)
+        new_dir, weight, valid = brdf.sample_indirect(
+            rec.p, rec.normal, view, rec.mat, take_spec,
+            u4[:, 0], u4[:, 1], u4[:, 2], u4[:, 3],
+        )
+        invalid = active & ~valid
+        if cfg.sky_always:
+            color = color + jnp.where(
+                invalid[:, None], throughput * _sky(dirs, cfg), 0.0
+            )
+        cont = active & valid
+        throughput = jnp.where(cont[:, None], throughput * weight, throughput)
+        origins = jnp.where(cont[:, None], rec.p, origins)
+        dirs = jnp.where(cont[:, None], new_dir, dirs)
+        alive = cont
+
+    # Paths that survive the static loop are truncated as a miss.
+    color = color + jnp.where(alive[:, None], throughput * _sky(dirs, cfg), 0.0)
+    return color
+
+
+def trace_image_sample(closest_hit: HitFn, lights: Lights,
+                       cam: CameraConfig, cfg: RenderConfig, stream,
+                       origin=None, look_at=None) -> jnp.ndarray:
+    """One full-image sample: jittered primary rays + wavefront trace.
+    Returns linear radiance [H, W, 3]."""
+    vp = derive_viewport(cam, origin=origin, look_at=look_at)
+    jitter = stream.take(2)
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+    radiance = trace_wavefront(closest_hit, lights, origins, dirs, stream, cfg)
+    return radiance.reshape(cam.height, cam.width, 3)
+
+
+def render(closest_hit: HitFn, lights: Lights, cam: CameraConfig,
+           cfg: RenderConfig, key: jax.Array,
+           origin=None, look_at=None) -> jnp.ndarray:
+    """Render ``cfg.spp`` accumulated samples; linear mean image [H, W, 3].
+
+    The progressive-accumulation analog (raytrace_compute.glsl:404-406) for
+    offline use; the interactive session in srt_tpu.app accumulates frame by
+    frame instead.
+    """
+    n = cam.height * cam.width
+
+    def one_sample(s):
+        stream = KeyStream(jax.random.fold_in(key, s), n)
+        return trace_image_sample(
+            closest_hit, lights, cam, cfg, stream, origin=origin, look_at=look_at
+        )
+
+    if cfg.spp == 1:
+        return one_sample(0)
+    acc = jax.lax.map(one_sample, jnp.arange(cfg.spp))
+    return jnp.mean(acc, axis=0)
+
+
+def render_spheres(spheres: Spheres, lights: Lights, cam: CameraConfig,
+                   cfg: RenderConfig, key: jax.Array) -> jnp.ndarray:
+    """Convenience: render a sphere scene (the SHOW_MODEL=0 configuration)."""
+    return render(spheres_hit_fn(spheres), lights, cam, cfg, key)
+
+
+def trace_with_uniforms(closest_hit: HitFn, lights: Lights,
+                        cam: CameraConfig, cfg: RenderConfig,
+                        uniforms) -> jnp.ndarray:
+    """One image sample driven by an injected ``[N, D]`` uniform array —
+    the oracle-comparison entry point (same slots as the numpy oracle)."""
+    return trace_image_sample(closest_hit, lights, cam, cfg, ArrayStream(uniforms))

@@ -1,0 +1,385 @@
+"""GGX microfacet BRDF library, batched over ray wavefronts.
+
+TPU-native rewrite of shaders/brdf.glsl + the shading helpers in
+shaders/raytrace_utils.glsl: Cook-Torrance GGX with Smith height-correlated
+masking, Schlick Fresnel, cosine-weighted diffuse + GGX half-vector sampling,
+RIS (resampled importance sampling) over point lights, and the lobe-selection
+probability.  Every function maps ``[N, ...]`` arrays -> ``[N, ...]`` arrays
+and is differentiable w.r.t. material parameters, geometry and light
+parameters.
+
+Reference quirks deliberately fixed (see SURVEY.md "quirks" list):
+* ``EvalSpecular`` passed ``(alphaSquared, NdotH)`` into the NDF with swapped
+  arguments (brdf.glsl:140 vs :15) — we call it correctly.
+* ``SampleLights``'s random index used ``round(u * lightCount)`` which can
+  index one past the end (raytrace_compute.glsl:186) — we floor and clamp.
+* ``V`` is normalized here; the reference used the unnormalized
+  ``-ray.direction`` (raytrace_compute.glsl:231) which skews dot products
+  for primary rays.
+
+All min/max epsilon clamps mirror the reference so renderer and oracle agree
+bit-for-bit in spirit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from srt_tpu.scene import Lights, Materials
+
+PI = 3.14159265358979323846
+MIN_DIELECTRIC_F0 = 0.04
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def luminance(rgb):
+    """BT.709 relative luminance (raytrace_utils.glsl:107-109)."""
+    w = jnp.asarray([0.2126, 0.7152, 0.0722], rgb.dtype)
+    return _dot(rgb, w)
+
+
+def specular_f0(base_color, metalness):
+    """Metalness mix of dielectric F0 (raytrace_utils.glsl:111-113)."""
+    m = metalness[..., None]
+    return (1.0 - m) * MIN_DIELECTRIC_F0 + m * base_color
+
+
+def shadowed_f90(f0):
+    """F90 derived from F0 luminance (raytrace_utils.glsl:131-137)."""
+    return jnp.minimum(1.0, (1.0 / MIN_DIELECTRIC_F0) * luminance(f0))
+
+
+def fresnel_schlick(f0, f90, n_dot_s):
+    """``FresnelSchlickNew`` (brdf.glsl:39-41). f90 is [...] scalar-per-ray."""
+    return f0 + (f90[..., None] - f0) * jnp.power(1.0 - n_dot_s[..., None], 5.0)
+
+
+def ggx_ndf(n_dot_h, alpha_squared):
+    """``ggxNormalDistributionNew`` (brdf.glsl:15-18) with the arguments in
+    the *correct* order (the reference call site swapped them)."""
+    b = (alpha_squared - 1.0) * n_dot_h * n_dot_h + 1.0
+    return alpha_squared / jnp.maximum(0.001, PI * b * b)
+
+
+def smith_g_alpha(alpha, n_dot_s):
+    """``SmithGAlpha`` (brdf.glsl:44-46)."""
+    return n_dot_s / (
+        jnp.maximum(1e-4, alpha)
+        * jnp.sqrt(1.0 - jnp.minimum(0.99999, n_dot_s * n_dot_s))
+    )
+
+
+def smith_g_lambda_ggx(a):
+    """``SmithGLambdaGGX`` (brdf.glsl:48-50)."""
+    return (-1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(0.001, a * a))) * 0.5
+
+
+def smith_g2_height_correlated(alpha, n_dot_l, n_dot_v):
+    """``Smith_G2_Height_Correlated`` (brdf.glsl:53-57)."""
+    a_l = smith_g_alpha(alpha, n_dot_l)
+    a_v = smith_g_alpha(alpha, n_dot_v)
+    return 1.0 / (1.0 + smith_g_lambda_ggx(a_l) + smith_g_lambda_ggx(a_v))
+
+
+def ggx_schlick_masking(n_dot_l, n_dot_v, roughness):
+    """Legacy Schlick-GGX masking (brdf.glsl:21-31) used by the ``useSpec``
+    direct-light path (``SampleDirect``)."""
+    k = roughness * roughness / 2.0
+    g_v = n_dot_v / jnp.maximum(0.001, n_dot_v * (1.0 - k) + k)
+    g_l = n_dot_l / jnp.maximum(0.001, n_dot_l * (1.0 - k) + k)
+    return jnp.abs(g_v * g_l)
+
+
+def ggx_ndf_legacy(n_dot_h, roughness):
+    """Legacy NDF with alpha = roughness^2 (brdf.glsl:8-12)."""
+    a2 = roughness * roughness
+    d = (n_dot_h * a2 - n_dot_h) * n_dot_h + 1.0
+    return a2 / jnp.maximum(0.001, d * d * PI)
+
+
+def schlick_fresnel_legacy(f0, u):
+    """Legacy Schlick (brdf.glsl:34-36)."""
+    return f0 + (1.0 - f0) * jnp.power(jnp.maximum(0.001, 1.0 - u[..., None]), 5.0)
+
+
+def perpendicular_vector(u):
+    """Branchless perpendicular basis vector (raytrace_utils.glsl:123-129)."""
+    a = jnp.abs(u)
+    xm = ((a[..., 0] - a[..., 1]) < 0) & ((a[..., 0] - a[..., 2]) < 0)
+    xm = xm.astype(jnp.int32)
+    ym = jnp.where((a[..., 1] - a[..., 2]) < 0, 1 ^ xm, 0)
+    zm = 1 ^ (xm | ym)
+    axis = jnp.stack([xm, ym, zm], axis=-1).astype(u.dtype)
+    return jnp.cross(u, axis)
+
+
+def reflect(incident, normal):
+    """GLSL ``reflect``: I - 2*dot(N, I)*N."""
+    return incident - 2.0 * _dot(normal, incident)[..., None] * normal
+
+
+def sample_diffuse(normal, r1, r2):
+    """Cosine-weighted hemisphere sample around ``normal``
+    (``SampleDiffuse``, brdf.glsl:60-74). r1/r2: [N] uniforms."""
+    bitangent = perpendicular_vector(normal)
+    tangent = jnp.cross(bitangent, normal)
+    r = jnp.sqrt(jnp.abs(r1))
+    phi = 2.0 * PI * r2
+    return (
+        tangent * (r * jnp.cos(phi))[..., None]
+        + bitangent * (r * jnp.sin(phi))[..., None]
+        + normal * jnp.sqrt(jnp.abs(1.0 - r1))[..., None]
+    )
+
+
+def sample_ggx_half_vector(normal, roughness, r1, r2):
+    """GGX NDF half-vector sample (``SampleSpecularHalfVec``,
+    brdf.glsl:81-99).  Note the reference uses a2 = roughness^2 here."""
+    b = perpendicular_vector(normal)
+    t = jnp.cross(b, normal)
+    a2 = roughness * roughness
+    cos_th = jnp.sqrt(jnp.maximum(0.0, (1.0 - r1) / ((a2 - 1.0) * r1 + 1.0)))
+    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
+    phi = r2 * 2.0 * PI
+    return (
+        t * (sin_th * jnp.cos(phi))[..., None]
+        + b * (sin_th * jnp.sin(phi))[..., None]
+        + normal * cos_th[..., None]
+    )
+
+
+def specular_sample_weight(alpha_squared, n_dot_s):
+    """Sample weight = G2/G1 shortcut (``SpecularSampleWeight``,
+    brdf.glsl:76-78)."""
+    s2 = n_dot_s * n_dot_s
+    return 2.0 / (jnp.sqrt((alpha_squared * (1.0 - s2) + s2) / s2) + 1.0)
+
+
+class BrdfData(NamedTuple):
+    """``BrdfData`` (raytrace_types.glsl) — precomputed dots and material
+    terms (``GetAllBRDFValues``, brdf.glsl:173-198)."""
+
+    n_dot_l: jnp.ndarray
+    n_dot_v: jnp.ndarray
+    l_dot_h: jnp.ndarray
+    n_dot_h: jnp.ndarray
+    v_dot_h: jnp.ndarray
+    specular_f0: jnp.ndarray
+    diffuse_reflectance: jnp.ndarray
+    roughness: jnp.ndarray
+    alpha: jnp.ndarray
+    alpha_squared: jnp.ndarray
+    fresnel: jnp.ndarray
+
+
+def brdf_data(normal, light_dir, view_dir, mat: Materials) -> BrdfData:
+    """Vectorized ``GetAllBRDFValues`` (brdf.glsl:173-198)."""
+    h = light_dir + view_dir
+    h_len = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = jnp.where(h_len > 0.0, h / jnp.where(h_len > 0.0, h_len, 1.0), h)
+    n_dot_l = saturate(_dot(normal, light_dir))
+    n_dot_v = saturate(_dot(normal, view_dir))
+    l_dot_h = saturate(_dot(light_dir, h))
+    n_dot_h = saturate(_dot(normal, h))
+    v_dot_h = saturate(_dot(view_dir, h))
+    f0 = specular_f0(mat.albedo, mat.metalness)
+    alpha = mat.roughness * mat.roughness
+    return BrdfData(
+        n_dot_l=n_dot_l,
+        n_dot_v=n_dot_v,
+        l_dot_h=l_dot_h,
+        n_dot_h=n_dot_h,
+        v_dot_h=v_dot_h,
+        specular_f0=f0,
+        diffuse_reflectance=mat.albedo * (1.0 - mat.metalness[..., None]),
+        roughness=mat.roughness,
+        alpha=alpha,
+        alpha_squared=alpha * alpha,
+        fresnel=fresnel_schlick(f0, shadowed_f90(f0), l_dot_h),
+    )
+
+
+def eval_diffuse(data: BrdfData):
+    """``EvalDiffuse`` (brdf.glsl:134-137)."""
+    return data.diffuse_reflectance * (data.n_dot_l / PI)[..., None]
+
+
+def eval_specular(data: BrdfData):
+    """``EvalSpecular`` (brdf.glsl:139-145), NDF args fixed."""
+    d = ggx_ndf(data.n_dot_h, jnp.maximum(1e-5, data.alpha_squared))
+    g = smith_g2_height_correlated(data.alpha, data.n_dot_l, data.n_dot_v)
+    denom = 4.0 * jnp.maximum(data.n_dot_l, 0.001) * jnp.maximum(data.n_dot_v, 0.001)
+    scale = g * d / jnp.maximum(denom, 0.001) * data.n_dot_l
+    return data.fresnel * scale[..., None]
+
+
+def light_falloff(p, light_pos):
+    """Inverse-square falloff with near-field clamp
+    (``GetLightFalloff``, brdf.glsl:147-152)."""
+    d = light_pos - p
+    return 1.0 / (0.01 * 0.01 + _dot(d, d))
+
+
+def light_dir_to(p, light_pos):
+    """``getLightData`` (brdf.glsl:2-5): unit vector to the light."""
+    d = light_pos - p
+    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.where(n > 0.0, d / jnp.where(n > 0.0, n, 1.0), d)
+
+
+def sample_direct(p, normal, view_dir, mat: Materials, light_pos, light_color,
+                  light_intensity, shadow_mult):
+    """Legacy direct-light evaluator for ``useSpec`` materials
+    (``SampleDirect``, brdf.glsl:200-224): Cook-Torrance with the legacy
+    NDF/masking/Fresnel and NdotL cancelled against the sampling PDF."""
+    l_dir = light_dir_to(p, light_pos)
+    h = view_dir + l_dir
+    h_len = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = jnp.where(h_len > 0.0, h / jnp.where(h_len > 0.0, h_len, 1.0), h)
+    n_dot_l = saturate(_dot(normal, l_dir))
+    n_dot_h = saturate(_dot(normal, h))
+    l_dot_h = saturate(_dot(l_dir, h))
+    n_dot_v = saturate(_dot(normal, view_dir))
+    d = ggx_ndf_legacy(n_dot_h, mat.roughness)
+    g = ggx_schlick_masking(n_dot_l, n_dot_v, mat.roughness)
+    f = schlick_fresnel_legacy(mat.specular, l_dot_h)
+    falloff = light_falloff(p, light_pos)
+    intensity = light_intensity * falloff
+    ggx_term = f * (d * g / (4.0 * jnp.maximum(0.001, n_dot_v)))[..., None]
+    light_term = shadow_mult[..., None] * light_color * intensity[..., None]
+    return light_term * (ggx_term + n_dot_l[..., None] * mat.albedo / PI)
+
+
+def sample_direct_new(normal, light_dir, view_dir, mat: Materials):
+    """Energy-conserving direct evaluator for non-``useSpec`` materials
+    (``SampleDirectNew``, brdf.glsl:226-237): (1 - F) * diffuse + specular.
+    The caller multiplies by shadow, light color/intensity/falloff and the
+    RIS weight (raytrace_compute.glsl:242-244)."""
+    data = brdf_data(normal, light_dir, view_dir, mat)
+    return (1.0 - data.fresnel) * eval_diffuse(data) + eval_specular(data)
+
+
+def brdf_probability(mat: Materials, view_dir, normal):
+    """Specular-lobe selection probability (``GetBrdfProbability``,
+    brdf.glsl:279-288), clamped to [0.1, 0.9]."""
+    spec_f0_lum = luminance(specular_f0(mat.albedo, mat.metalness))
+    diff_lum = luminance(mat.albedo * (1.0 - mat.metalness[..., None]))
+    f0 = spec_f0_lum[..., None] * jnp.ones((1, 3), dtype=spec_f0_lum.dtype)
+    fres = saturate(
+        luminance(
+            fresnel_schlick(
+                f0, shadowed_f90(f0), jnp.maximum(0.0, _dot(view_dir, normal))
+            )
+        )
+    )
+    spec = fres
+    diff = diff_lum * (1.0 - fres)
+    p = spec / jnp.maximum(1e-4, spec + diff)
+    return jnp.clip(p, 0.1, 0.9)
+
+
+def sample_specular_microfacet(p, normal, view_dir, mat: Materials, f0,
+                               alpha, alpha_squared, h_r1, h_r2):
+    """GGX importance sample + weight (``SampleSpecularMicrofacet``,
+    brdf.glsl:102-132).  Returns (direction [N,3], weight [N,3])."""
+    # Perfect-mirror fast path when alpha == 0 (brdf.glsl:106-110).
+    l_perfect = reflect(-view_dir, normal)
+    h_perfect = -view_dir + l_perfect
+    h_perfect = h_perfect / jnp.maximum(
+        jnp.linalg.norm(h_perfect, axis=-1, keepdims=True), 1e-12
+    )
+    h_sampled = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
+    h = jnp.where((alpha == 0.0)[..., None], h_perfect, h_sampled)
+
+    l_dir = reflect(-view_dir, h)
+    h_dot_l = jnp.clip(_dot(h, l_dir), 1e-5, 1.0)
+    n_dot_l = jnp.clip(_dot(normal, l_dir), 1e-5, 1.0)
+    f = fresnel_schlick(f0, shadowed_f90(f0), h_dot_l)
+    weight = f * specular_sample_weight(alpha_squared, n_dot_l)[..., None]
+    return l_dir, weight
+
+
+def sample_indirect(p, normal, view_dir, mat: Materials, take_specular,
+                    diff_r1, diff_r2, h_r1, h_r2):
+    """Next-bounce direction + throughput weight (``SampleIndirectNew``,
+    brdf.glsl:239-277).
+
+    ``take_specular``: [N] bool lobe choice (made by the caller from
+    ``brdf_probability``).  Returns (direction [N,3], weight [N,3],
+    valid [N]).  Invalid when the view is below the surface, the weight is
+    black, or the sampled direction is below the surface.
+    """
+    above = _dot(normal, view_dir) > 0.0
+
+    # Diffuse branch (brdf.glsl:248-260).
+    diff_dir = sample_diffuse(normal, diff_r1, diff_r2)
+    data = brdf_data(normal, diff_dir, view_dir, mat)
+    h = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
+    v_dot_h = jnp.clip(_dot(view_dir, h), 1e-5, 1.0)
+    diff_weight = data.diffuse_reflectance * (
+        1.0 - fresnel_schlick(data.specular_f0, shadowed_f90(data.specular_f0), v_dot_h)
+    )
+
+    # Specular branch (brdf.glsl:261-264).
+    spec_dir, spec_weight = sample_specular_microfacet(
+        p, normal, view_dir, mat, data.specular_f0, data.alpha,
+        data.alpha_squared, h_r1, h_r2,
+    )
+
+    raw_dir = jnp.where(take_specular[..., None], spec_dir, diff_dir)
+    weight = jnp.where(take_specular[..., None], spec_weight, diff_weight)
+
+    norm = jnp.linalg.norm(raw_dir, axis=-1, keepdims=True)
+    direction = raw_dir / jnp.maximum(norm, 1e-12)
+    valid = (
+        above
+        & (luminance(weight) != 0.0)
+        & (_dot(normal, direction) > 0.0)
+    )
+    return direction, weight, valid
+
+
+def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
+    """Resampled importance sampling over point lights (``SampleLights``,
+    raytrace_compute.glsl:179-206).
+
+    p: [N, 3] shading points; u_idx/u_sel: [N, L] uniforms.
+    Runs L reservoir iterations: random light index per iteration,
+    RIS weight = luminance(intensity * falloff) * L, streaming selection.
+    Returns (selected [N] bool, light_idx [N] int32, weight [N]).
+    The off-by-one ``round(u * L)`` indexing bug is fixed with
+    floor + clamp.
+    """
+    n = p.shape[0]
+    num_lights = lights.count
+    total = jnp.zeros((n,), p.dtype)
+    sel_idx = jnp.zeros((n,), jnp.int32)
+    sel_pdf = jnp.zeros((n,), p.dtype)
+    selected = jnp.zeros((n,), bool)
+
+    for i in range(num_lights):
+        cand = jnp.clip(
+            jnp.floor(u_idx[:, i] * num_lights).astype(jnp.int32), 0, num_lights - 1
+        )
+        falloff = light_falloff(p, lights.position[cand])
+        intensity = lights.intensity[cand] * falloff
+        # luminance of a grey vec3(intensity) is just intensity
+        light_pdf = intensity
+        ris_w = light_pdf * num_lights
+        total = total + ris_w
+        accept = u_sel[:, i] < jnp.where(total > 0.0, ris_w / jnp.where(total > 0.0, total, 1.0), 0.0)
+        sel_idx = jnp.where(accept, cand, sel_idx)
+        sel_pdf = jnp.where(accept, light_pdf, sel_pdf)
+        selected = selected | accept
+
+    weight = (total / num_lights) / jnp.maximum(0.001, sel_pdf)
+    return selected, sel_idx, weight

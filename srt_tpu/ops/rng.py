@@ -1,0 +1,76 @@
+"""Counter-based random sampling for path tracing.
+
+Replaces the reference's noise-texture hash RNG
+(shaders/raytrace_utils.glsl:28-89 — a fract-sin hash indexing two
+precomputed W*H noise texture-buffers, visibly correlated because seeds are
+hit-position based and reused).  Here sampling is threefry counter-based:
+per-(pixel, sample, bounce, slot) decorrelated, deterministic, and
+reproducible across hosts — no giant noise buffers in memory.
+
+Two interchangeable stream implementations feed the renderer:
+
+* ``KeyStream`` — draws from ``jax.random`` inside jit (production).
+* ``ArrayStream`` — slices a caller-provided ``[N, D]`` uniform array
+  (testing: the numpy oracle consumes the *same* array in the same slot
+  order, making renderer-vs-oracle comparisons exact).
+
+The slot protocol per path-tracing bounce (see models/pathtracer.py):
+``[ris_idx x L | ris_sel x L | lobe | rr | diff_r1 | diff_r2 | h_r1 | h_r2]``
+so a bounce consumes ``2*L + 6`` slots; pixel jitter (2 slots) is drawn
+before the bounce loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bounce_slots(n_lights: int) -> int:
+    """Uniform slots consumed per bounce for a scene with n_lights lights."""
+    return 2 * n_lights + 6
+
+
+def total_slots(n_lights: int, n_bounces: int) -> int:
+    """Total slots per path: pixel jitter + all bounces."""
+    return 2 + n_bounces * bounce_slots(n_lights)
+
+
+class KeyStream:
+    """Threefry-backed uniform stream. Static slot counter, pure under jit."""
+
+    def __init__(self, key: jax.Array, n_rays: int):
+        self._key = key
+        self._n = n_rays
+        self._counter = 0
+
+    def take(self, k: int) -> jnp.ndarray:
+        """Draw [n_rays, k] uniforms in [0, 1)."""
+        sub = jax.random.fold_in(self._key, self._counter)
+        self._counter += 1
+        return jax.random.uniform(sub, (self._n, k), dtype=jnp.float32)
+
+
+class ArrayStream:
+    """Slices a precomputed [N, D] uniform array by static offsets."""
+
+    def __init__(self, uniforms):
+        self._u = uniforms
+        self._off = 0
+
+    def take(self, k: int):
+        u = self._u[:, self._off:self._off + k]
+        self._off += k
+        if u.shape[1] != k:
+            raise ValueError(
+                f"uniform array exhausted: need {k} slots at offset {self._off - k}, "
+                f"have {self._u.shape[1]}"
+            )
+        return u
+
+
+def host_uniforms(seed: int, n_rays: int, n_slots: int) -> np.ndarray:
+    """Host-side uniforms for oracle comparisons (numpy, not jax)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(size=(n_rays, n_slots)).astype(np.float32)
