@@ -1,0 +1,369 @@
+"""Triangle-mesh scenes: device pytree, traversal strategies, shading hookup.
+
+The TPU-side counterpart of the reference's model path: ``CheckHit``'s
+per-model frame transform + BVH traversal (raytrace_compute.glsl:143-161 ->
+``Intersects``, ray_intersects.glsl:99-133) and the OBJ-material conversion
+``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175).
+
+Traversal strategies over the flattened node/triangle arrays:
+
+* ``"dense"``  — every ray against every triangle, ``[tile, T]`` broadcast
+  Moller-Trumbore on the VPU.  No divergence, no gather; the fastest choice
+  for small-to-medium meshes and the correctness baseline for everything.
+* ``"bvh"``    — classic per-ray stack traversal (``lax.while_loop`` with a
+  fixed-size stack, vmapped).  Matches the reference algorithm one-to-one;
+  used for CPU validation and as the semantics spec for the Pallas kernel.
+* ``"pallas"`` — the production TPU kernel (ops/traversal_pallas.py):
+  BVH-culled cluster intersection over ray tiles.
+
+All strategies return identical hits (tested).  Rays are processed in
+static tiles so memory stays bounded; the whole thing is differentiable
+w.r.t. triangle vertices, frames, and material tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from srt_tpu.models.pathtracer import Hit, HitFn
+from srt_tpu.ops import intersect
+from srt_tpu.scene import Materials
+from srt_tpu.utils.flatten import FlatScene
+
+INF = jnp.float32(jnp.inf)
+MISS = jnp.int32(-1)
+
+# ``TriangleToSupportedMat`` constants (raytrace_utils.glsl:169-173).
+MESH_METALNESS = 0.1
+ROUGHNESS_EPS = 1e-7
+
+
+@struct.dataclass
+class MeshScene:
+    """Device-resident flattened multi-model scene.
+
+    Array fields are traced (differentiable); ``static`` fields are python
+    metadata fixed at trace time (model directory, sizes, stack depth).
+    """
+
+    frames: jnp.ndarray       # [B, 4, 4] world->model (differentiable pose)
+    node_min: jnp.ndarray     # [Nn, 3]
+    node_max: jnp.ndarray     # [Nn, 3]
+    node_first: jnp.ndarray   # [Nn] int32
+    node_count: jnp.ndarray   # [Nn] int32
+    tri_v0: jnp.ndarray       # [T, 3] model-space corners
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    uv0: jnp.ndarray          # [T, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tri_mat: jnp.ndarray      # [T] int32
+    mat_diffuse: jnp.ndarray  # [M, 3]
+    mat_specular: jnp.ndarray  # [M, 3]
+    mat_specular_ex: jnp.ndarray  # [M]
+    mat_use_texture: jnp.ndarray  # [M] bool
+    mat_tex_index: jnp.ndarray    # [M] int32
+    atlas: Optional[jnp.ndarray] = None  # [H, W, 3] texture atlas or None
+    atlas_rects: Optional[jnp.ndarray] = None  # [K, 4] (x, y, w, h) in texels
+
+    model_first_node: tuple = struct.field(pytree_node=False, default=(0,))
+    model_first_tri: tuple = struct.field(pytree_node=False, default=(0,))
+    model_tri_count: tuple = struct.field(pytree_node=False, default=(0,))
+    num_triangles: int = struct.field(pytree_node=False, default=0)
+    stack_depth: int = struct.field(pytree_node=False, default=34)
+    max_leaf: int = struct.field(pytree_node=False, default=2)
+
+    @property
+    def num_models(self) -> int:
+        return len(self.model_first_node)
+
+
+def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
+    """Host FlatScene -> device MeshScene (the ``glBufferData`` moment,
+    gpu_loader.cpp:142-182; here a plain pytree of jnp arrays)."""
+    return MeshScene(
+        frames=jnp.asarray(scene.frames),
+        node_min=jnp.asarray(scene.node_min),
+        node_max=jnp.asarray(scene.node_max),
+        node_first=jnp.asarray(scene.node_first),
+        node_count=jnp.asarray(scene.node_count),
+        tri_v0=jnp.asarray(scene.tri_v0),
+        tri_v1=jnp.asarray(scene.tri_v1),
+        tri_v2=jnp.asarray(scene.tri_v2),
+        uv0=jnp.asarray(scene.uv0),
+        uv1=jnp.asarray(scene.uv1),
+        uv2=jnp.asarray(scene.uv2),
+        tri_mat=jnp.asarray(scene.tri_mat),
+        mat_diffuse=jnp.asarray(scene.mat_diffuse),
+        mat_specular=jnp.asarray(scene.mat_specular),
+        mat_specular_ex=jnp.asarray(scene.mat_specular_ex),
+        mat_use_texture=jnp.asarray(scene.mat_use_texture),
+        mat_tex_index=jnp.asarray(scene.mat_tex_index),
+        atlas=None if atlas is None else jnp.asarray(atlas),
+        atlas_rects=None if atlas_rects is None else jnp.asarray(atlas_rects),
+        model_first_node=tuple(int(x) for x in scene.model_first_node),
+        model_first_tri=tuple(int(x) for x in scene.model_first_tri),
+        model_tri_count=tuple(int(x) for x in scene.model_tri_count),
+        num_triangles=int(scene.num_triangles),
+        stack_depth=int(scene.max_depth) + 2,
+        max_leaf=int(scene.node_count.max()),
+    )
+
+
+def transform_rays(frame, origins, dirs):
+    """World ray -> model space (raytrace_compute.glsl:146-147):
+    origin as a point, direction as a vector (no normalize)."""
+    o = origins @ frame[:3, :3].T + frame[:3, 3]
+    d = dirs @ frame[:3, :3].T
+    return o, d
+
+
+def normal_to_world(frame, normals):
+    """Model-space normal -> world, via the transpose of the world->model
+    matrix; renormalized.  (The reference skips this —
+    raytrace_compute.glsl:157 — which is only correct for identity frames.)
+    """
+    n = normals @ frame[:3, :3]
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Dense strategy
+# ---------------------------------------------------------------------------
+
+def _dense_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
+    """All-triangles sweep for model ``b``; returns (t, tri_idx, u, v)."""
+    lo = scene.model_first_tri[b]
+    hi = lo + scene.model_tri_count[b]
+    o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
+    t_all, u_all, v_all = intersect.moller_trumbore(
+        o_m, d_m, scene.tri_v0[lo:hi], scene.tri_v1[lo:hi], scene.tri_v2[lo:hi]
+    )
+    t_all = jnp.where(t_all < t_best[:, None], t_all, INF)
+    k = jnp.argmin(t_all, axis=1)
+    rows = jnp.arange(t_all.shape[0])
+    return (
+        t_all[rows, k],
+        (k + lo).astype(jnp.int32),
+        u_all[rows, k],
+        v_all[rows, k],
+    )
+
+
+# ---------------------------------------------------------------------------
+# BVH stack strategy (the reference algorithm, lax.while_loop + vmap)
+# ---------------------------------------------------------------------------
+
+def _bvh_traverse_single(scene: MeshScene, root: int, o, d, t_init):
+    """One ray through one model's BVH — ``Intersects``
+    (ray_intersects.glsl:99-133) as a while_loop with a fixed stack."""
+    stack = jnp.zeros((scene.stack_depth,), jnp.int32).at[0].set(root)
+
+    def mt_one(idx):
+        v0 = scene.tri_v0[idx]
+        e1 = scene.tri_v1[idx] - v0
+        e2 = scene.tri_v2[idx] - v0
+        h = jnp.cross(d, e2)
+        a = jnp.dot(e1, h)
+        parallel = jnp.abs(a) < intersect.MT_PARALLEL_EPS
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        s = o - v0
+        u = f * jnp.dot(s, h)
+        q = jnp.cross(s, e1)
+        v = f * jnp.dot(d, q)
+        t = f * jnp.dot(e2, q)
+        miss = parallel | (u < 0) | (u > 1) | (v < 0) | (u + v > 1) \
+            | (t <= intersect.MT_HIT_EPS)
+        return jnp.where(miss, INF, t), u, v
+
+    def cond(state):
+        sp, *_ = state
+        return sp > 0
+
+    def body(state):
+        sp, stack, best_t, best_i, best_u, best_v = state
+        sp = sp - 1
+        ni = stack[sp]
+        dist = intersect.ray_aabb(o, d, scene.node_min[ni], scene.node_max[ni])
+        enter = (dist < best_t) & jnp.isfinite(dist)
+        first = scene.node_first[ni]
+        count = scene.node_count[ni]
+        is_leaf = count > 0
+
+        # Leaf: prims statically unrolled to the scene's max leaf size with
+        # masks (degenerate midpoint splits can leave leaves > leaf_size,
+        # exactly like the reference builder, bvh.h:129-131).
+        for k in range(scene.max_leaf):
+            idx = first + k
+            valid = enter & is_leaf & (k < count)
+            t, u, v = mt_one(idx)
+            better = valid & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, idx, best_i)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+
+        # Internal: push both children (left processed first, like the
+        # reference's pop order).
+        push = enter & ~is_leaf
+        stack = stack.at[sp].set(jnp.where(push, first + 1, stack[sp]))
+        nxt = jnp.minimum(sp + 1, scene.stack_depth - 1)
+        stack = stack.at[nxt].set(jnp.where(push, first, stack[nxt]))
+        sp = jnp.where(push, sp + 2, sp)
+        return sp, stack, best_t, best_i, best_u, best_v
+
+    init = (jnp.int32(1), stack, t_init, MISS, jnp.float32(0), jnp.float32(0))
+    _, _, t, i, u, v = jax.lax.while_loop(cond, body, init)
+    return t, i, u, v
+
+
+def _bvh_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
+    o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
+    root = scene.model_first_node[b]
+    t, i, u, v = jax.vmap(
+        lambda o, d, tb: _bvh_traverse_single(scene, root, o, d, tb)
+    )(o_m, d_m, t_best)
+    return t, i, u, v
+
+
+# ---------------------------------------------------------------------------
+# Shading hookup
+# ---------------------------------------------------------------------------
+
+def triangle_material(scene: MeshScene, tri_idx, u, v) -> Materials:
+    """OBJ material -> shading material (``TriangleToSupportedMat``,
+    raytrace_utils.glsl:140-175): textured albedo via barycentric UV lookup
+    in the atlas, else Kd; roughness ~ 1/(Ns+eps); metalness 0.1;
+    use_spec true."""
+    midx = scene.tri_mat[tri_idx]
+    albedo = scene.mat_diffuse[midx]
+    if scene.atlas is not None:
+        from srt_tpu.ops.texture import sample_atlas
+        uv = (
+            (1.0 - u - v)[:, None] * scene.uv0[tri_idx]
+            + u[:, None] * scene.uv1[tri_idx]
+            + v[:, None] * scene.uv2[tri_idx]
+        )
+        tex_rgb = sample_atlas(
+            scene.atlas, scene.atlas_rects, scene.mat_tex_index[midx], uv
+        )
+        albedo = jnp.where(scene.mat_use_texture[midx][:, None], tex_rgb, albedo)
+    rough = 1.0 / (scene.mat_specular_ex[midx] + ROUGHNESS_EPS)
+    n = tri_idx.shape[0]
+    return Materials(
+        albedo=albedo,
+        specular=scene.mat_specular[midx],
+        roughness=rough,
+        metalness=jnp.full((n,), MESH_METALNESS, jnp.float32),
+        use_spec=jnp.ones((n,), bool),
+    )
+
+
+def mesh_hit_fn(scene: MeshScene, method: str = "dense",
+                flip_normals: bool = True, ray_tile: int = 0) -> HitFn:
+    """Build the integrator's closest-hit callable for a mesh scene.
+
+    Mirrors the model branch of ``CheckHit`` (raytrace_compute.glsl:143-161):
+    per-model frame transform, traversal bounded by the running closest t
+    across models, material conversion on the winning triangle.
+
+    ``ray_tile > 0`` processes rays in fixed tiles via ``lax.map`` to bound
+    the [tile, T] dense working set.
+    """
+    if method == "pallas":
+        from srt_tpu.ops.traversal_pallas import pallas_model_hit
+        model_hit = pallas_model_hit
+    elif method == "dense":
+        model_hit = _dense_model_hit
+    elif method == "bvh":
+        model_hit = _bvh_model_hit
+    else:
+        raise ValueError(f"unknown traversal method: {method}")
+
+    def hit_tile(origins, dirs, t_min, t_max):
+        n = origins.shape[0]
+        best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        best_i = jnp.full((n,), MISS)
+        best_u = jnp.zeros((n,), jnp.float32)
+        best_v = jnp.zeros((n,), jnp.float32)
+        best_b = jnp.zeros((n,), jnp.int32)
+        for b in range(scene.num_models):
+            t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
+            better = (i != MISS) & (t < best_t) & (t > t_min)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, i, best_i)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+            best_b = jnp.where(better, b, best_b)
+
+        hit = best_i != MISS
+        idx = jnp.maximum(best_i, 0)
+        t_safe = jnp.where(hit, best_t, 1.0)
+        p = origins + t_safe[:, None] * dirs
+
+        # Geometric normal in model space -> world (the reference leaves it
+        # in model space, raytrace_compute.glsl:157; see RenderConfig).
+        n_model = intersect.triangle_geometric_normal(
+            scene.tri_v0[idx], scene.tri_v1[idx], scene.tri_v2[idx]
+        )
+        if scene.num_models == 1:
+            normal = normal_to_world(scene.frames[0], n_model)
+        else:
+            # Per-ray frame gather: n_w = F^T n_m, batched.
+            f = scene.frames[best_b]                       # [N, 4, 4]
+            n_raw = jnp.einsum("nij,ni->nj", f[:, :3, :3], n_model)
+            normal = n_raw / jnp.maximum(
+                jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12
+            )
+        if flip_normals:
+            facing = jnp.sum(normal * dirs, axis=-1) < 0.0
+            normal = jnp.where(facing[:, None], normal, -normal)
+
+        mat = triangle_material(scene, idx, best_u, best_v)
+        return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat)
+
+    if ray_tile <= 0:
+        return hit_tile
+
+    def hit_tiled(origins, dirs, t_min, t_max):
+        n = origins.shape[0]
+        if n <= ray_tile:
+            return hit_tile(origins, dirs, t_min, t_max)
+        pad = (-n) % ray_tile
+        o = jnp.pad(origins, ((0, pad), (0, 0)))
+        d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        tm = jnp.pad(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
+                     (0, pad), constant_values=1.0)
+        tiles = (n + pad) // ray_tile
+        res = jax.lax.map(
+            lambda args: hit_tile(args[0], args[1], t_min, args[2]),
+            (
+                o.reshape(tiles, ray_tile, 3),
+                d.reshape(tiles, ray_tile, 3),
+                tm.reshape(tiles, ray_tile),
+            ),
+        )
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((tiles * ray_tile,) + x.shape[2:])[:n], res
+        )
+        return flat
+
+    return hit_tiled
+
+
+def load_mesh_scene(obj_paths, frames=None, method_pad: int = 1,
+                    leaf_size: int = 2) -> MeshScene:
+    """Convenience: OBJ paths -> flattened device MeshScene."""
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.obj_loader import load_object
+
+    meshes = [load_object(p) for p in obj_paths]
+    flat = flatten_models(meshes, frames=frames, leaf_size=leaf_size,
+                          pad_to=method_pad)
+    return upload(flat)

@@ -1,0 +1,59 @@
+"""In-kernel texture sampling from a packed atlas.
+
+TPU replacement for the reference's bindless samplers: OpenGL lets the
+kernel fetch through a ``sampler2D(uvec2 handle)`` resident handle
+(raytrace_utils.glsl:165-166, gpu_texture.h:60-63); XLA has no such thing,
+so all textures are packed into one ``[H, W, 3]`` atlas array in HBM at load
+time (utils/atlas.py) and fetches are bilinear gathers against per-texture
+rects — differentiable w.r.t. the atlas texels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_atlas(atlas, rects, tex_index, uv, bilinear: bool = True):
+    """Sample RGB from the atlas.
+
+    atlas: [H, W, 3] float32; rects: [K, 4] int32 (x, y, w, h) texel rects;
+    tex_index: [N] int32 (clamped; callers mask out untextured hits);
+    uv: [N, 2] in [0, 1] with OBJ convention (v up; the loader pre-flips if
+    the source image was top-down).  Wrap mode: repeat (GL default used by
+    the reference's mipmapped GL_TEXTURE_2D, gpu_texture.h:39-53).
+    """
+    idx = jnp.clip(tex_index, 0, rects.shape[0] - 1)
+    r = rects[idx]                                  # [N, 4]
+    rx, ry = r[:, 0].astype(jnp.float32), r[:, 1].astype(jnp.float32)
+    rw, rh = r[:, 2].astype(jnp.float32), r[:, 3].astype(jnp.float32)
+
+    u = uv[:, 0] % 1.0
+    v = uv[:, 1] % 1.0
+
+    # Texel-space coordinates inside the rect (half-texel centered).
+    x = u * rw - 0.5
+    y = v * rh - 0.5
+
+    if not bilinear:
+        xi = rx + jnp.clip(jnp.round(x), 0, rw - 1)
+        yi = ry + jnp.clip(jnp.round(y), 0, rh - 1)
+        return atlas[yi.astype(jnp.int32), xi.astype(jnp.int32)]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def fetch(xo, yo):
+        # Repeat-wrap inside the rect, then offset into the atlas.
+        xi = (rx + (x0 + xo) % rw).astype(jnp.int32)
+        yi = (ry + (y0 + yo) % rh).astype(jnp.int32)
+        return atlas[yi, xi]
+
+    c00 = fetch(0.0, 0.0)
+    c10 = fetch(1.0, 0.0)
+    c01 = fetch(0.0, 1.0)
+    c11 = fetch(1.0, 1.0)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy

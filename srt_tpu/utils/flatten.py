@@ -1,0 +1,189 @@
+"""Multi-model scene flattening — the device-upload layer.
+
+Analog of ``AssetUtils::UploadModelDataToGPU`` (src/asset_utils/
+gpu_loader.cpp:63-183): N models (mesh + BVH + materials) are flattened into
+global arrays with running offsets — per-model node ranges and frame
+matrices, BVH nodes with the merged child/prim index fixed up
+(gpu_loader.cpp:119-130), triangles with vertex/material offsets applied
+(:107-115) — except the destination is a pytree of numpy arrays destined for
+HBM (``jax.device_put`` replicated per host) instead of five SSBOs.
+
+TPU-specific choices:
+* triangle vertex positions and UVs are **pre-gathered** per corner
+  (tri_v0/v1/v2, uv0/1/2) so the intersection kernels do zero indirection;
+  the index form (tri_vidx) is kept for vertex-gradient scatter-back;
+* arrays are padded to a multiple of ``pad_to`` so Pallas tiles divide
+  evenly; padding triangles are degenerate (never hit) and padding nodes
+  are empty leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from srt_tpu.utils.bvh import FlatBVH, triangle_bvh
+from srt_tpu.utils.obj_loader import MeshData
+
+
+@dataclasses.dataclass
+class FlatScene:
+    """Flattened multi-model scene (host numpy).  See module docstring."""
+
+    # BVH directory: per model (``GPUBVH``, gpu_loader.cpp:11-17)
+    model_first_node: np.ndarray  # [B] int32
+    model_node_count: np.ndarray  # [B] int32
+    model_first_tri: np.ndarray   # [B] int32
+    model_tri_count: np.ndarray   # [B] int32
+    frames: np.ndarray            # [B, 4, 4] float32 world->model
+    # nodes (``GPUBVHNode``, gpu_loader.cpp:19-24), merged-index layout
+    node_min: np.ndarray          # [Nn, 3]
+    node_max: np.ndarray          # [Nn, 3]
+    node_first: np.ndarray        # [Nn] int32 (child idx or global tri idx)
+    node_count: np.ndarray        # [Nn] int32 (0 = internal)
+    # triangles, pre-gathered corners
+    tri_v0: np.ndarray            # [T, 3]
+    tri_v1: np.ndarray
+    tri_v2: np.ndarray
+    uv0: np.ndarray               # [T, 2]
+    uv1: np.ndarray
+    uv2: np.ndarray
+    tri_mat: np.ndarray           # [T] int32
+    tri_vidx: np.ndarray          # [T, 3] int32 into the packed vertex buffer
+    positions: np.ndarray         # [V, 3] packed vertex buffer (for grads)
+    # materials (``GPUMaterial``, gpu_loader.cpp:26-34)
+    mat_diffuse: np.ndarray       # [M, 3]
+    mat_specular: np.ndarray      # [M, 3]
+    mat_specular_ex: np.ndarray   # [M]
+    mat_use_texture: np.ndarray   # [M] bool
+    mat_tex_index: np.ndarray     # [M] int32 into the atlas (-1 = none)
+    num_triangles: int = 0        # real (unpadded) triangle count
+    max_depth: int = 32           # deepest BVH depth across models
+
+    @property
+    def num_models(self) -> int:
+        return self.model_first_node.shape[0]
+
+
+def flatten_models(
+    meshes: Sequence[MeshData],
+    bvhs: Optional[Sequence[FlatBVH]] = None,
+    frames: Optional[Sequence[np.ndarray]] = None,
+    leaf_size: int = 2,
+    pad_to: int = 1,
+) -> FlatScene:
+    """Flatten models into one FlatScene.
+
+    ``frames`` are world->model matrices (identity by default, like the
+    reference's ``glm::mat4(1)`` GPUBVH default); update later via
+    ``set_frame`` for the ``UpdateModelMatrix`` analog
+    (gpu_loader.cpp:185-196).
+    """
+    from srt_tpu.utils.bvh import bvh_depth
+
+    if bvhs is None:
+        bvhs = [triangle_bvh(m.positions, m.tri_vidx, leaf_size=leaf_size)
+                for m in meshes]
+    if frames is None:
+        frames = [np.eye(4, dtype=np.float32) for _ in meshes]
+
+    first_nodes, node_counts, first_tris, tri_counts, frame_list = [], [], [], [], []
+    nmin, nmax, nfirst, ncount = [], [], [], []
+    tv0, tv1, tv2, u0, u1, u2, tmat, tvidx = [], [], [], [], [], [], [], []
+    positions = []
+    md, ms, mex, mut, mti = [], [], [], [], []
+
+    node_off = 0
+    tri_off = 0
+    mat_off = 0
+    vert_off = 0
+    depth = 1
+    for mesh, bvh, frame in zip(meshes, bvhs, frames):
+        depth = max(depth, bvh_depth(bvh))
+        first_nodes.append(node_off)
+        node_counts.append(bvh.num_nodes)
+        first_tris.append(tri_off)
+        tri_counts.append(mesh.num_triangles)
+        frame_list.append(np.asarray(frame, np.float32))
+
+        is_leaf = bvh.node_count > 0
+        nfirst.append(
+            np.where(is_leaf, bvh.node_first + tri_off, bvh.node_first + node_off)
+            .astype(np.int32)
+        )
+        ncount.append(bvh.node_count.astype(np.int32))
+        nmin.append(bvh.node_min)
+        nmax.append(bvh.node_max)
+
+        order = bvh.prim_order
+        vidx = mesh.tri_vidx[order]
+        tv0.append(mesh.positions[vidx[:, 0]])
+        tv1.append(mesh.positions[vidx[:, 1]])
+        tv2.append(mesh.positions[vidx[:, 2]])
+        u0.append(mesh.uvs[vidx[:, 0]])
+        u1.append(mesh.uvs[vidx[:, 1]])
+        u2.append(mesh.uvs[vidx[:, 2]])
+        tmat.append((mesh.tri_mat[order].astype(np.int64) + mat_off).astype(np.int32))
+        tvidx.append((vidx.astype(np.int64) + vert_off).astype(np.int32))
+        positions.append(mesh.positions)
+
+        for m in mesh.materials:
+            md.append(m.diffuse)
+            ms.append(m.specular)
+            mex.append(m.specular_ex)
+            mut.append(bool(m.use_texture))
+            mti.append(-1)
+
+        node_off += bvh.num_nodes
+        tri_off += mesh.num_triangles
+        mat_off += len(mesh.materials)
+        vert_off += mesh.positions.shape[0]
+
+    t = tri_off
+    t_pad = -(-t // pad_to) * pad_to if pad_to > 1 else t
+
+    def cat(parts, pad_shape, pad_val=0.0, dtype=np.float32):
+        out = np.concatenate(parts, axis=0).astype(dtype)
+        if t_pad > t and out.shape[0] == t:
+            pad = np.full((t_pad - t,) + pad_shape, pad_val, dtype)
+            out = np.concatenate([out, pad], axis=0)
+        return out
+
+    # Degenerate padding triangles: all corners coincident -> never hit.
+    return FlatScene(
+        model_first_node=np.asarray(first_nodes, np.int32),
+        model_node_count=np.asarray(node_counts, np.int32),
+        model_first_tri=np.asarray(first_tris, np.int32),
+        model_tri_count=np.asarray(tri_counts, np.int32),
+        frames=np.stack(frame_list, axis=0),
+        node_min=np.concatenate(nmin).astype(np.float32),
+        node_max=np.concatenate(nmax).astype(np.float32),
+        node_first=np.concatenate(nfirst),
+        node_count=np.concatenate(ncount),
+        tri_v0=cat(tv0, (3,)),
+        tri_v1=cat(tv1, (3,)),
+        tri_v2=cat(tv2, (3,)),
+        uv0=cat(u0, (2,)),
+        uv1=cat(u1, (2,)),
+        uv2=cat(u2, (2,)),
+        tri_mat=cat(tmat, (), 0, np.int32),
+        tri_vidx=cat(tvidx, (3,), 0, np.int32),
+        positions=np.concatenate(positions).astype(np.float32),
+        mat_diffuse=np.asarray(md, np.float32).reshape(-1, 3),
+        mat_specular=np.asarray(ms, np.float32).reshape(-1, 3),
+        mat_specular_ex=np.asarray(mex, np.float32).reshape(-1),
+        mat_use_texture=np.asarray(mut, bool).reshape(-1),
+        mat_tex_index=np.asarray(mti, np.int32).reshape(-1),
+        num_triangles=t,
+        max_depth=depth,
+    )
+
+
+def set_frame(scene: FlatScene, model_index: int, matrix: np.ndarray) -> FlatScene:
+    """Replace one model's world->model matrix (``UpdateModelMatrix``,
+    gpu_loader.cpp:185-196).  Returns a new FlatScene (host arrays)."""
+    frames = scene.frames.copy()
+    frames[model_index] = np.asarray(matrix, np.float32)
+    return dataclasses.replace(scene, frames=frames)
