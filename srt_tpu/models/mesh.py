@@ -129,8 +129,8 @@ def normal_to_world(frame, normals):
     matrix; renormalized.  (The reference skips this —
     raytrace_compute.glsl:157 — which is only correct for identity frames.)
     """
-    n = normals @ frame[:3, :3]
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    from srt_tpu.ops.safemath import safe_normalize
+    return safe_normalize(normals @ frame[:3, :3])
 
 
 # ---------------------------------------------------------------------------
@@ -317,9 +317,9 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         else:
             # Per-ray frame gather: n_w = F^T n_m, batched.
             f = scene.frames[best_b]                       # [N, 4, 4]
-            n_raw = jnp.einsum("nij,ni->nj", f[:, :3, :3], n_model)
-            normal = n_raw / jnp.maximum(
-                jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12
+            from srt_tpu.ops.safemath import safe_normalize
+            normal = safe_normalize(
+                jnp.einsum("nij,ni->nj", f[:, :3, :3], n_model)
             )
         if flip_normals:
             facing = jnp.sum(normal * dirs, axis=-1) < 0.0

@@ -33,6 +33,7 @@ from srt_tpu.camera import derive_viewport, generate_rays
 from srt_tpu.config import CameraConfig, RenderConfig
 from srt_tpu.ops import brdf
 from srt_tpu.ops import intersect
+from srt_tpu.ops.safemath import safe_normalize
 from srt_tpu.ops.rng import ArrayStream, KeyStream
 from srt_tpu.scene import Lights, Materials, Spheres
 
@@ -73,8 +74,9 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min):
     """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
     cast p -> light, occluded if anything hits before the light."""
     delta = light_pos - p
-    dist = jnp.linalg.norm(delta, axis=-1)
-    direction = delta / jnp.maximum(dist, 1e-12)[:, None]
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
+    direction = safe_normalize(delta)
     shadow = closest_hit(p, direction, t_min, dist)
     return shadow.hit
 
@@ -84,7 +86,7 @@ def _sky(dirs, cfg: RenderConfig):
     gradient (both appear at raytrace_compute.glsl:219-220)."""
     if not cfg.sky_gradient:
         return jnp.asarray(cfg.sky_color, jnp.float32)[None, :]
-    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    d = safe_normalize(dirs)
     a = 0.5 * (d[:, 1] + 1.0)
     white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
     blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
@@ -98,16 +100,25 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
     documented per-bounce order (ops/rng.py) so the numpy oracle can replay
     the exact same randomness.
+
+    The bounce loop is a ``lax.scan`` over pre-drawn per-bounce uniforms —
+    one traced bounce body regardless of depth, which keeps XLA compile
+    time flat as ``max_depth + rr_bounces`` grows (the reference's
+    ``while(true)`` at raytrace_compute.glsl:224 has no such concern
+    because GLSL compiles per-thread scalar code).
     """
     n = origins.shape[0]
     num_lights = lights.count
     n_bounces = cfg.max_depth + cfg.rr_bounces
+    d_slots = 2 * num_lights + 6
 
-    throughput = jnp.ones((n, 3), jnp.float32)
-    color = jnp.zeros((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
+    # [N, B*D] drawn in slot order -> [B, N, D] per-bounce blocks.
+    u_all = stream.take(n_bounces * d_slots)
+    u_bounce = u_all.reshape(n, n_bounces, d_slots).transpose(1, 0, 2)
 
-    for bounce in range(n_bounces):
+    def bounce_body(carry, inputs):
+        bounce, u = inputs
+        origins, dirs, throughput, color, alive = carry
         rec = closest_hit(origins, dirs, cfg.t_min, jnp.full((n,), jnp.inf))
         active = alive & rec.hit
 
@@ -117,15 +128,12 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         color = color + jnp.where(
             missed[:, None], throughput * _sky(dirs, cfg), 0.0
         )
-        alive = active
 
-        view = -dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
-        )
+        view = safe_normalize(-dirs)
 
         # --- RIS light sampling + direct lighting (glsl:228-246) ---
-        u_idx = stream.take(num_lights)
-        u_sel = stream.take(num_lights)
+        u_idx = u[:, 0:num_lights]
+        u_sel = u[:, num_lights:2 * num_lights]
         sampled, light_idx, light_w = brdf.sample_lights_ris(
             rec.p, lights, u_idx, u_sel
         )
@@ -153,7 +161,7 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         color = color + jnp.where(add[:, None], throughput * direct, 0.0)
 
         # --- BRDF lobe selection (glsl:248-264) ---
-        u_lobe = stream.take(1)[:, 0]
+        u_lobe = u[:, 2 * num_lights]
         forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
         prob = brdf.brdf_probability(rec.mat, view, rec.normal)
         chose_spec = u_lobe < prob
@@ -167,25 +175,26 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             active[:, None], throughput * lobe_scale[:, None], throughput
         )
 
-        # --- Russian roulette (glsl:266-274) ---
-        u_rr = stream.take(1)[:, 0]
-        if bounce >= cfg.max_depth:
-            survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
-            died = active & (u_rr > survival)
-            if cfg.sky_always:
-                # Reference adds sky * throughput on *every* exit (glsl:292).
-                color = color + jnp.where(
-                    died[:, None], throughput * _sky(dirs, cfg), 0.0
-                )
-            survived = active & ~died
-            throughput = jnp.where(
-                survived[:, None], throughput / survival[:, None], throughput
+        # --- Russian roulette (glsl:266-274), active once bounce passes
+        # max_depth (dynamic within the scan) ---
+        u_rr = u[:, 2 * num_lights + 1]
+        in_rr = bounce >= cfg.max_depth
+        survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
+        died = active & in_rr & (u_rr > survival)
+        if cfg.sky_always:
+            # Reference adds sky * throughput on *every* exit (glsl:292).
+            color = color + jnp.where(
+                died[:, None], throughput * _sky(dirs, cfg), 0.0
             )
-            active = survived
-            alive = active
+        survived = active & ~died
+        throughput = jnp.where(
+            (survived & in_rr)[:, None], throughput / survival[:, None],
+            throughput,
+        )
+        active = survived
 
         # --- Indirect bounce (glsl:276-285) ---
-        u4 = stream.take(4)
+        u4 = u[:, 2 * num_lights + 2:2 * num_lights + 6]
         new_dir, weight, valid = brdf.sample_indirect(
             rec.p, rec.normal, view, rec.mat, take_spec,
             u4[:, 0], u4[:, 1], u4[:, 2], u4[:, 3],
@@ -199,7 +208,18 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         throughput = jnp.where(cont[:, None], throughput * weight, throughput)
         origins = jnp.where(cont[:, None], rec.p, origins)
         dirs = jnp.where(cont[:, None], new_dir, dirs)
-        alive = cont
+        return (origins, dirs, throughput, color, cont), None
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    (origins, dirs, throughput, color, alive), _ = jax.lax.scan(
+        bounce_body, init, (jnp.arange(n_bounces), u_bounce)
+    )
 
     # Paths that survive the static loop are truncated as a miss.
     color = color + jnp.where(alive[:, None], throughput * _sky(dirs, cfg), 0.0)

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from srt_tpu.ops.safemath import safe_normalize
 from srt_tpu.scene import Lights, Materials
 
 PI = 3.14159265358979323846
@@ -183,9 +184,7 @@ class BrdfData(NamedTuple):
 
 def brdf_data(normal, light_dir, view_dir, mat: Materials) -> BrdfData:
     """Vectorized ``GetAllBRDFValues`` (brdf.glsl:173-198)."""
-    h = light_dir + view_dir
-    h_len = jnp.linalg.norm(h, axis=-1, keepdims=True)
-    h = jnp.where(h_len > 0.0, h / jnp.where(h_len > 0.0, h_len, 1.0), h)
+    h = safe_normalize(light_dir + view_dir)
     n_dot_l = saturate(_dot(normal, light_dir))
     n_dot_v = saturate(_dot(normal, view_dir))
     l_dot_h = saturate(_dot(light_dir, h))
@@ -231,9 +230,7 @@ def light_falloff(p, light_pos):
 
 def light_dir_to(p, light_pos):
     """``getLightData`` (brdf.glsl:2-5): unit vector to the light."""
-    d = light_pos - p
-    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    return jnp.where(n > 0.0, d / jnp.where(n > 0.0, n, 1.0), d)
+    return safe_normalize(light_pos - p)
 
 
 def sample_direct(p, normal, view_dir, mat: Materials, light_pos, light_color,
@@ -242,9 +239,7 @@ def sample_direct(p, normal, view_dir, mat: Materials, light_pos, light_color,
     (``SampleDirect``, brdf.glsl:200-224): Cook-Torrance with the legacy
     NDF/masking/Fresnel and NdotL cancelled against the sampling PDF."""
     l_dir = light_dir_to(p, light_pos)
-    h = view_dir + l_dir
-    h_len = jnp.linalg.norm(h, axis=-1, keepdims=True)
-    h = jnp.where(h_len > 0.0, h / jnp.where(h_len > 0.0, h_len, 1.0), h)
+    h = safe_normalize(view_dir + l_dir)
     n_dot_l = saturate(_dot(normal, l_dir))
     n_dot_h = saturate(_dot(normal, h))
     l_dot_h = saturate(_dot(l_dir, h))
@@ -293,10 +288,7 @@ def sample_specular_microfacet(p, normal, view_dir, mat: Materials, f0,
     brdf.glsl:102-132).  Returns (direction [N,3], weight [N,3])."""
     # Perfect-mirror fast path when alpha == 0 (brdf.glsl:106-110).
     l_perfect = reflect(-view_dir, normal)
-    h_perfect = -view_dir + l_perfect
-    h_perfect = h_perfect / jnp.maximum(
-        jnp.linalg.norm(h_perfect, axis=-1, keepdims=True), 1e-12
-    )
+    h_perfect = safe_normalize(-view_dir + l_perfect, fallback=normal)
     h_sampled = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
     h = jnp.where((alpha == 0.0)[..., None], h_perfect, h_sampled)
 
@@ -338,8 +330,7 @@ def sample_indirect(p, normal, view_dir, mat: Materials, take_specular,
     raw_dir = jnp.where(take_specular[..., None], spec_dir, diff_dir)
     weight = jnp.where(take_specular[..., None], spec_weight, diff_weight)
 
-    norm = jnp.linalg.norm(raw_dir, axis=-1, keepdims=True)
-    direction = raw_dir / jnp.maximum(norm, 1e-12)
+    direction = safe_normalize(raw_dir)
     valid = (
         above
         & (luminance(weight) != 0.0)

@@ -42,7 +42,11 @@ def sphere_hit(origins, dirs, centers, radii, t_min, t_max):
     t_max = jnp.broadcast_to(jnp.asarray(t_max)[..., None], h.shape)
     disc = h * h - a * c
     valid = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where so the masked-out sqrt sees a positive argument: the
+    # derivative of sqrt at 0 is inf, and 0-cotangent * inf = NaN would
+    # otherwise poison gradients of secondary rays (whose origins and
+    # directions depend on scene parameters).
+    sqrtd = jnp.sqrt(jnp.where(valid, disc, 1.0))
     root_near = (h - sqrtd) / a
     root_far = (h + sqrtd) / a
     near_ok = (t_min < root_near) & (root_near < t_max)
@@ -124,6 +128,7 @@ def closest_triangle_hit(origins, dirs, v0, v1, v2, t_max):
 
 def triangle_geometric_normal(v0, v1, v2):
     """Unit geometric normal, ``normalize(cross(e1, e2))``
-    (ray_intersects.glsl:90)."""
-    n = jnp.cross(v1 - v0, v2 - v0)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    (ray_intersects.glsl:90); degenerate triangles (padding) yield zero
+    instead of NaN."""
+    from srt_tpu.ops.safemath import safe_normalize
+    return safe_normalize(jnp.cross(v1 - v0, v2 - v0))
