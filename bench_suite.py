@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark suite: the BASELINE.json config grid + scaling harness.
+
+Each config prints one JSON line.  ``bench.py`` remains the single headline
+metric for the driver; this suite covers the full grid:
+
+  1. spheres 256x256, 2 bounces — forward vs the numpy oracle (allclose)
+  2. spheres 512x512, 16 spp, 4 bounces — forward Mrays/s + gradient check
+  3. Rubik OBJ BVH 512x512 — forward + backward wall time
+  4. high-poly procedural mesh (Airplane stand-in) — forward Mrays/s
+  5. rays/s scaling over an N-device mesh (real chips when available,
+     else the 8-virtual-device CPU mesh as a code-path check)
+
+Usage: python bench_suite.py [config_numbers...]   (default: all)
+       SRT_SUITE_SMALL=1 shrinks sizes for smoke runs.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMALL = bool(os.environ.get("SRT_SUITE_SMALL"))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _timed(fn, *args, reps=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.perf_counter() - t0) / reps
+
+
+def config1_oracle_parity():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import pathtracer, reference_cpu
+    from srt_tpu.ops import rng as rng_ops
+    from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+    size = 64 if SMALL else 256
+    cam = CameraConfig(width=size, height=size)
+    cfg = RenderConfig(max_depth=2, rr_bounces=0)
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+    n = cam.width * cam.height
+    n_slots = rng_ops.total_slots(lights.count, 2)
+    uniforms = rng_ops.host_uniforms(1, n, n_slots)
+
+    img = np.asarray(pathtracer.trace_with_uniforms(
+        pathtracer.spheres_hit_fn(spheres), lights, cam, cfg,
+        jnp.asarray(uniforms)))
+    m = spheres.materials
+    sc = reference_cpu.OracleScene(
+        np.asarray(spheres.center), np.asarray(spheres.radius),
+        np.asarray(m.albedo), np.asarray(m.specular),
+        np.asarray(m.roughness), np.asarray(m.metalness),
+        np.asarray(m.use_spec), np.asarray(lights.position),
+        np.asarray(lights.color), np.asarray(lights.intensity))
+    ref = reference_cpu.render_image(sc, cam.width, cam.height, cam.origin,
+                                     cam.look_at, uniforms, max_depth=2,
+                                     rr_bounces=0)
+    err = float(np.max(np.abs(img - ref)))
+    emit(metric=f"config1 spheres {size}x{size} fwd max|err| vs CPU oracle",
+         value=err, unit="radiance", vs_baseline=float(err < 2e-3))
+
+
+def config2_spheres_diff():
+    import jax
+    import jax.numpy as jnp
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+    size = 128 if SMALL else 512
+    spp = 2 if SMALL else 16
+    cam = CameraConfig(width=size, height=size)
+    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=spp)
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+
+    fwd = jax.jit(lambda s, k: pathtracer.render_spheres(s, lights, cam, cfg, k))
+    _, dt = _timed(fwd, spheres, jax.random.key(0))
+    rays = size * size * spp * cfg.max_depth * 2
+    emit(metric=f"config2 spheres {size}x{size} {spp}spp fwd", value=round(
+        rays / dt / 1e6, 2), unit="Mrays/s upper bound", vs_baseline=None)
+
+    grad = jax.jit(jax.grad(
+        lambda albedo, k: jnp.mean(fwd(
+            spheres.replace(materials=spheres.materials.replace(albedo=albedo)), k))
+    ))
+    g, dtg = _timed(grad, spheres.materials.albedo, jax.random.key(0), reps=3)
+    finite = bool(jnp.isfinite(g).all())
+    emit(metric=f"config2 material-grad bwd wall", value=round(dtg, 4),
+         unit="s", vs_baseline=float(finite))
+
+
+def _rubik_scene():
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.utils.flatten import flatten_models
+
+    ref = "/root/reference/objects/Rubik/Rubik.obj"
+    if os.path.exists(ref):
+        from srt_tpu.utils.obj_loader import load_object
+        mesh_data = load_object(ref)
+    else:
+        from srt_tpu.utils.procgen import rubik_grid
+        mesh_data = rubik_grid()
+    return mesh_mod.upload(flatten_models([mesh_data], pad_to=128)), mesh_data
+
+
+def config3_rubik_fwd_bwd():
+    import jax
+    import jax.numpy as jnp
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import model_scene_lights
+
+    scene, mesh_data = _rubik_scene()
+    size = 128 if SMALL else 512
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 20.0, 20.0),
+                       look_at=(0.0, 1.0, -1.0))
+    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1)
+    lights = model_scene_lights()
+    method = "pallas" if jax.default_backend() == "tpu" else "dense"
+    hit = mesh_mod.mesh_hit_fn(scene, method=method, ray_tile=8192)
+
+    fwd = jax.jit(lambda s, k: pathtracer.render(
+        mesh_mod.mesh_hit_fn(s, method=method, ray_tile=8192), lights, cam,
+        cfg, k))
+    _, dt = _timed(fwd, scene, jax.random.key(0))
+    emit(metric=f"config3 Rubik {mesh_data.num_triangles}tri {size}x{size} "
+                f"fwd ({method})", value=round(dt, 4), unit="s/frame",
+         vs_baseline=None)
+
+    grad = jax.jit(jax.grad(lambda diffuse, k: jnp.mean(fwd(
+        scene.replace(mat_diffuse=diffuse), k))))
+    g, dtg = _timed(grad, scene.mat_diffuse, jax.random.key(0), reps=3)
+    emit(metric="config3 Rubik material-grad bwd wall", value=round(dtg, 4),
+         unit="s", vs_baseline=float(bool(jnp.isfinite(g).all())))
+
+
+def config4_highpoly():
+    import jax
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    rows = 40 if SMALL else 160   # ~2*rows*cols triangles
+    cols = 60 if SMALL else 320   # 160x320 ~= 102k tris (Airplane stand-in)
+    mesh_data = uv_sphere(rows, cols, radius=2.0)
+    scene = mesh_mod.upload(flatten_models([mesh_data], pad_to=128))
+    size = 128 if SMALL else 1024
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1)
+    lights = model_scene_lights()
+    method = "pallas" if jax.default_backend() == "tpu" else "dense"
+
+    from srt_tpu.camera import derive_viewport, generate_rays
+    from srt_tpu.ops.rng import KeyStream
+    hit = mesh_mod.mesh_hit_fn(scene, method=method, ray_tile=4096)
+    n = size * size
+
+    def run(key):
+        stream = KeyStream(key, n)
+        vp = derive_viewport(cam)
+        jitter = stream.take(2)
+        o, d = generate_rays(vp, cam.width, cam.height, jitter)
+        return pathtracer.trace_wavefront(hit, lights, o, d, stream, cfg,
+                                          return_stats=True)
+
+    (color, stats), dt = _timed(jax.jit(run), jax.random.key(0), reps=3)
+    import numpy as np
+    rays = int(np.asarray(stats).sum())
+    emit(metric=f"config4 {mesh_data.num_triangles}tri {size}x{size} fwd "
+                f"({method})", value=round(rays / dt / 1e6, 2),
+         unit="Mrays/s", vs_baseline=round(rays / dt / 1e6 / 100.0, 3))
+
+
+def config5_scaling():
+    import jax
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import pathtracer
+    from srt_tpu.parallel import device_mesh
+    from srt_tpu.parallel.render_sharded import render_sharded
+    from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+    n_dev = len(jax.devices())
+    size = 128 if SMALL else 256
+    cfg = RenderConfig(max_depth=3, rr_bounces=0, spp=2)
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+
+    results = {}
+    shards = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for s in shards:
+        cam = CameraConfig(width=size, height=size)
+        mesh = device_mesh(s, 1)
+        fn = jax.jit(lambda k, m=mesh: render_sharded(
+            lambda sc: pathtracer.spheres_hit_fn(sc), spheres, lights, cam,
+            cfg, k, m))
+        _, dt = _timed(fn, jax.random.key(0))
+        results[s] = size * size * cfg.spp / dt
+    base = results[shards[0]]
+    for s in shards:
+        eff = results[s] / (base * s)
+        emit(metric=f"config5 scaling {s} shards ({jax.default_backend()})",
+             value=round(results[s] / 1e6, 3), unit="Mpaths/s",
+             vs_baseline=round(eff, 3))
+
+
+ALL = {
+    "1": config1_oracle_parity,
+    "2": config2_spheres_diff,
+    "3": config3_rubik_fwd_bwd,
+    "4": config4_highpoly,
+    "5": config5_scaling,
+}
+
+if __name__ == "__main__":
+    picks = sys.argv[1:] or sorted(ALL)
+    for p in picks:
+        try:
+            ALL[p]()
+        except Exception as e:  # keep the suite going; report the failure
+            emit(metric=f"config{p} FAILED", value=0.0, unit=str(e)[:200],
+                 vs_baseline=0.0)

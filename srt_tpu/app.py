@@ -1,0 +1,111 @@
+"""Progressive interactive-style render session.
+
+The TPU equivalent of the reference's app layer (src/main.cpp frame loop +
+InputHandler): a ``RenderSession`` owns the accumulation state, re-renders
+one 1-spp frame per ``step()`` (raytrace_compute.glsl:400-406 semantics),
+exposes the same camera verbs as the reference's input handling (WASD
+movement, mouse-style rotation, reset — input_handler.cpp:30-138), and
+invalidates the accumulation buffer on any camera change exactly like the
+``resetAccumBuffer`` protocol (src/main.cpp:622-647).
+
+No window system: frames resolve to sRGB numpy images the caller can save
+(utils/image.py) or display however it likes.  The render step is jitted
+once; camera pose enters as traced arguments so movement does NOT trigger
+recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srt_tpu.camera import FPSCamera
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.models.pathtracer import HitFn, trace_image_sample
+from srt_tpu.ops import tonemap
+from srt_tpu.ops.rng import KeyStream
+
+
+class RenderSession:
+    """Progressive accumulation renderer with FPS camera controls."""
+
+    def __init__(self, closest_hit: HitFn, lights, cam: CameraConfig,
+                 cfg: Optional[RenderConfig] = None, seed: int = 0,
+                 show_model: bool = False):
+        self.cfg = dataclasses.replace(cfg or RenderConfig(), spp=1)
+        self.cam_cfg = cam
+        self.camera = FPSCamera(position=tuple(cam.origin))
+        self._show_model = show_model
+        self._key = jax.random.key(seed)
+        self._accum = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        self.frames_accumulated = 0
+        self._frame_index = 0
+
+        n = cam.height * cam.width
+
+        def render_one(key, origin, look_at):
+            stream = KeyStream(key, n)
+            return trace_image_sample(
+                closest_hit, lights, cam, self.cfg, stream,
+                origin=origin, look_at=look_at,
+            )
+
+        self._render_one = jax.jit(render_one)
+
+    # -- camera verbs (InputHandler analog) --------------------------------
+
+    def move(self, forward=0.0, strafe=0.0, vertical=0.0):
+        """WASD/Space/Shift (input_handler.cpp:30-78); resets accumulation."""
+        self.camera.move(forward, strafe, vertical)
+        self.reset_accumulation()
+
+    def rotate(self, yaw_offset: float, pitch_offset: float):
+        """Mouse-drag look (input_handler.cpp:81-138); resets accumulation."""
+        self.camera.rotate(yaw_offset, pitch_offset)
+        self.reset_accumulation()
+
+    def reset_camera(self):
+        """'R' key (input_handler.cpp:62-66): per-scene default pose."""
+        self.camera.reset(self._show_model)
+        self.reset_accumulation()
+
+    def reset_accumulation(self):
+        """``resetAccumBuffer`` protocol (main.cpp:622-647)."""
+        self._accum = jnp.zeros_like(self._accum)
+        self.frames_accumulated = 0
+
+    # -- frame loop --------------------------------------------------------
+
+    def step(self) -> np.ndarray:
+        """Trace one 1-spp frame, accumulate, return the sRGB display image
+        (uint8-ready float [H, W, 3])."""
+        key = jax.random.fold_in(self._key, self._frame_index)
+        self._frame_index += 1
+        origin = jnp.asarray(self.camera.position, jnp.float32)
+        look_at = jnp.asarray(self.camera.look_at(), jnp.float32)
+        sample = self._render_one(key, origin, look_at)
+        self._accum, display = tonemap.accumulate(
+            self._accum, sample, self.frames_accumulated
+        )
+        self.frames_accumulated += 1
+        return np.asarray(display)
+
+    def run(self, frames: int, callback: Optional[Callable] = None) -> np.ndarray:
+        """Accumulate ``frames`` frames; returns the final display image.
+        ``callback(i, display)`` per frame (e.g. save a turntable)."""
+        display = None
+        for i in range(frames):
+            display = self.step()
+            if callback is not None:
+                callback(i, display)
+        return display
+
+    def snapshot(self) -> np.ndarray:
+        """Current resolved sRGB image without tracing a new frame."""
+        return np.asarray(
+            tonemap.resolve(self._accum, max(1, self.frames_accumulated))
+        )

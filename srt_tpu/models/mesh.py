@@ -71,10 +71,16 @@ class MeshScene:
     mat_tex_index: jnp.ndarray    # [M] int32
     atlas: Optional[jnp.ndarray] = None  # [H, W, 3] texture atlas or None
     atlas_rects: Optional[jnp.ndarray] = None  # [K, 4] (x, y, w, h) in texels
+    # Pallas cluster-kernel tables (ops/traversal_pallas.py); present when
+    # the scene was flattened with pad_to=128.
+    woop: Optional[jnp.ndarray] = None         # [13, T]
+    cluster_min: Optional[jnp.ndarray] = None  # [C, 3]
+    cluster_max: Optional[jnp.ndarray] = None  # [C, 3]
 
     model_first_node: tuple = struct.field(pytree_node=False, default=(0,))
     model_first_tri: tuple = struct.field(pytree_node=False, default=(0,))
     model_tri_count: tuple = struct.field(pytree_node=False, default=(0,))
+    model_padded_tri_count: tuple = struct.field(pytree_node=False, default=(0,))
     num_triangles: int = struct.field(pytree_node=False, default=0)
     stack_depth: int = struct.field(pytree_node=False, default=34)
     max_leaf: int = struct.field(pytree_node=False, default=2)
@@ -86,7 +92,37 @@ class MeshScene:
 
 def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
     """Host FlatScene -> device MeshScene (the ``glBufferData`` moment,
-    gpu_loader.cpp:142-182; here a plain pytree of jnp arrays)."""
+    gpu_loader.cpp:142-182; here a plain pytree of jnp arrays).
+
+    When the scene is cluster-aligned (flatten_models pad_to=128) the Woop
+    transform table and cluster AABBs for the Pallas kernel are built here.
+    """
+    import numpy as _np
+
+    t_total = scene.tri_v0.shape[0]
+    firsts = [int(x) for x in scene.model_first_tri]
+    padded_counts = tuple(
+        (firsts[i + 1] if i + 1 < len(firsts) else t_total) - firsts[i]
+        for i in range(len(firsts))
+    )
+
+    woop = cmin = cmax = None
+    from srt_tpu.ops.traversal_pallas import CLUSTER, build_clusters, build_woop
+    if t_total > 0 and t_total % CLUSTER == 0 and all(
+        c % CLUSTER == 0 for c in padded_counts
+    ):
+        w = build_woop(scene.tri_v0, scene.tri_v1, scene.tri_v2)  # [13, T]
+        # Kernel layout: [C, 16, 128] — per-cluster blocks, rows padded to
+        # a full sublane tile (see traversal_pallas._intersect_kernel).
+        w16 = _np.zeros((16, w.shape[1]), _np.float32)
+        w16[:13] = w
+        c_total = t_total // CLUSTER
+        woop = jnp.asarray(
+            w16.reshape(16, c_total, CLUSTER).transpose(1, 0, 2).copy()
+        )
+        lo, hi = build_clusters(scene.tri_v0, scene.tri_v1, scene.tri_v2)
+        cmin, cmax = jnp.asarray(lo), jnp.asarray(hi)
+
     return MeshScene(
         frames=jnp.asarray(scene.frames),
         node_min=jnp.asarray(scene.node_min),
@@ -107,9 +143,13 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
         mat_tex_index=jnp.asarray(scene.mat_tex_index),
         atlas=None if atlas is None else jnp.asarray(atlas),
         atlas_rects=None if atlas_rects is None else jnp.asarray(atlas_rects),
+        woop=woop,
+        cluster_min=cmin,
+        cluster_max=cmax,
         model_first_node=tuple(int(x) for x in scene.model_first_node),
         model_first_tri=tuple(int(x) for x in scene.model_first_tri),
         model_tri_count=tuple(int(x) for x in scene.model_tri_count),
+        model_padded_tri_count=padded_counts,
         num_triangles=int(scene.num_triangles),
         stack_depth=int(scene.max_depth) + 2,
         max_leaf=int(scene.node_count.max()),
@@ -265,6 +305,12 @@ def triangle_material(scene: MeshScene, tri_idx, u, v) -> Materials:
     )
 
 
+def pallas_model_hit_for_tests(scene: MeshScene, origins, dirs, t_best):
+    """Direct single-model kernel entry (test hook)."""
+    from srt_tpu.ops.traversal_pallas import pallas_model_hit
+    return pallas_model_hit(scene, 0, origins, dirs, t_best)
+
+
 def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 flip_normals: bool = True, ray_tile: int = 0) -> HitFn:
     """Build the integrator's closest-hit callable for a mesh scene.
@@ -279,6 +325,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     if method == "pallas":
         from srt_tpu.ops.traversal_pallas import pallas_model_hit
         model_hit = pallas_model_hit
+        ray_tile = 0  # the kernel tiles rays itself
     elif method == "dense":
         model_hit = _dense_model_hit
     elif method == "bvh":

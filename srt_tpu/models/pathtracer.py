@@ -70,12 +70,16 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
     return closest_hit
 
 
-def _occluded(closest_hit: HitFn, p, light_pos, t_min):
+def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
-    cast p -> light, occluded if anything hits before the light."""
+    cast p -> light, occluded if anything hits before the light.
+    ``active`` masks dead lanes with t_max = 0 so compaction-aware
+    intersectors (the Pallas kernel) skip them entirely."""
     delta = light_pos - p
     dist2 = jnp.sum(delta * delta, axis=-1)
     dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
+    if active is not None:
+        dist = jnp.where(active, dist, 0.0)
     direction = safe_normalize(delta)
     shadow = closest_hit(p, direction, t_min, dist)
     return shadow.hit
@@ -94,7 +98,7 @@ def _sky(dirs, cfg: RenderConfig):
 
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
-                    stream, cfg: RenderConfig) -> jnp.ndarray:
+                    stream, cfg: RenderConfig, return_stats: bool = False):
     """Trace an ``[N]`` ray batch to radiance ``[N, 3]``.
 
     ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
@@ -119,7 +123,11 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     def bounce_body(carry, inputs):
         bounce, u = inputs
         origins, dirs, throughput, color, alive = carry
-        rec = closest_hit(origins, dirs, cfg.t_min, jnp.full((n,), jnp.inf))
+        # Dead lanes trace with t_max = 0: compaction-aware intersectors
+        # (Pallas cluster kernel) then skip their tiles outright.
+        rec = closest_hit(
+            origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0)
+        )
         active = alive & rec.hit
 
         # Paths that miss exit with sky * throughput
@@ -141,7 +149,7 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         l_col = lights.color[light_idx]
         l_int = lights.intensity[light_idx]
 
-        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min)
+        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
         shadow_mult = jnp.where(occ, 0.0, 1.0)
 
         direct_spec = brdf.sample_direct(
@@ -208,7 +216,10 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         throughput = jnp.where(cont[:, None], throughput * weight, throughput)
         origins = jnp.where(cont[:, None], rec.p, origins)
         dirs = jnp.where(cont[:, None], new_dir, dirs)
-        return (origins, dirs, throughput, color, cont), None
+        # Per-bounce ray accounting: closest-hit rays entering the bounce +
+        # shadow rays for paths that found a hit (for Mrays/s metrics).
+        stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
+        return (origins, dirs, throughput, color, cont), stats
 
     init = (
         origins,
@@ -217,12 +228,14 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n,), bool),
     )
-    (origins, dirs, throughput, color, alive), _ = jax.lax.scan(
+    (origins, dirs, throughput, color, alive), stats = jax.lax.scan(
         bounce_body, init, (jnp.arange(n_bounces), u_bounce)
     )
 
     # Paths that survive the static loop are truncated as a miss.
     color = color + jnp.where(alive[:, None], throughput * _sky(dirs, cfg), 0.0)
+    if return_stats:
+        return color, stats  # stats: [B, 2] = (trace rays, shadow rays)
     return color
 
 

@@ -27,7 +27,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from srt_tpu.ops.safemath import safe_normalize
+from srt_tpu.ops.safemath import safe_normalize, safe_sqrt
 from srt_tpu.scene import Lights, Materials
 
 PI = 3.14159265358979323846
@@ -133,12 +133,13 @@ def sample_diffuse(normal, r1, r2):
     (``SampleDiffuse``, brdf.glsl:60-74). r1/r2: [N] uniforms."""
     bitangent = perpendicular_vector(normal)
     tangent = jnp.cross(bitangent, normal)
-    r = jnp.sqrt(jnp.abs(r1))
+    # safe_sqrt: r1 of exactly 0/1 would otherwise give inf derivatives.
+    r = safe_sqrt(jnp.abs(r1))
     phi = 2.0 * PI * r2
     return (
         tangent * (r * jnp.cos(phi))[..., None]
         + bitangent * (r * jnp.sin(phi))[..., None]
-        + normal * jnp.sqrt(jnp.abs(1.0 - r1))[..., None]
+        + normal * safe_sqrt(jnp.abs(1.0 - r1))[..., None]
     )
 
 
@@ -148,8 +149,11 @@ def sample_ggx_half_vector(normal, roughness, r1, r2):
     b = perpendicular_vector(normal)
     t = jnp.cross(b, normal)
     a2 = roughness * roughness
-    cos_th = jnp.sqrt(jnp.maximum(0.0, (1.0 - r1) / ((a2 - 1.0) * r1 + 1.0)))
-    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
+    # safe_sqrt throughout: as roughness -> 0, cos_th rounds to exactly 1
+    # in fp32 and the plain sqrt's infinite derivative at 0 NaNs roughness
+    # gradients (the sample itself is fine).
+    cos_th = safe_sqrt(jnp.maximum(0.0, (1.0 - r1) / ((a2 - 1.0) * r1 + 1.0)))
+    sin_th = safe_sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
     phi = r2 * 2.0 * PI
     return (
         t * (sin_th * jnp.cos(phi))[..., None]

@@ -51,12 +51,21 @@ class FlatBVH:
 
 
 def build_bvh(centers: np.ndarray, bounds_min: np.ndarray,
-              bounds_max: np.ndarray, leaf_size: int = 2) -> FlatBVH:
+              bounds_max: np.ndarray, leaf_size: int = 2,
+              use_native: str = "auto") -> FlatBVH:
     """Build a midpoint-split BVH over primitives.
 
     centers: [T, 3]; bounds_min/bounds_max: [T, 3] per-primitive AABBs.
     ``leaf_size=2`` matches the reference (bvh.h:105-106).
+
+    ``use_native="auto"`` dispatches to the C++ builder
+    (native/srt_native.cpp, identical trees, ~50x faster) when built.
     """
+    if use_native == "auto" and centers.shape[0] >= 1024:
+        from srt_tpu.utils.native import build_bvh_native
+        bvh = build_bvh_native(centers, bounds_min, bounds_max, leaf_size)
+        if bvh is not None:
+            return bvh
     t = centers.shape[0]
     if t == 0:
         raise ValueError("cannot build a BVH over zero primitives")

@@ -80,6 +80,10 @@ def flatten_models(
     reference's ``glm::mat4(1)`` GPUBVH default); update later via
     ``set_frame`` for the ``UpdateModelMatrix`` analog
     (gpu_loader.cpp:185-196).
+
+    ``pad_to > 1`` pads **each model's** triangle block (not just the tail)
+    to a multiple of ``pad_to`` with degenerate never-hit triangles so the
+    Pallas cluster kernel's 128-triangle lanes never straddle models.
     """
     from srt_tpu.utils.bvh import bvh_depth
 
@@ -119,14 +123,31 @@ def flatten_models(
 
         order = bvh.prim_order
         vidx = mesh.tri_vidx[order]
-        tv0.append(mesh.positions[vidx[:, 0]])
-        tv1.append(mesh.positions[vidx[:, 1]])
-        tv2.append(mesh.positions[vidx[:, 2]])
-        u0.append(mesh.uvs[vidx[:, 0]])
-        u1.append(mesh.uvs[vidx[:, 1]])
-        u2.append(mesh.uvs[vidx[:, 2]])
-        tmat.append((mesh.tri_mat[order].astype(np.int64) + mat_off).astype(np.int32))
-        tvidx.append((vidx.astype(np.int64) + vert_off).astype(np.int32))
+        n_real = mesh.num_triangles
+        n_padded = -(-n_real // pad_to) * pad_to if pad_to > 1 else n_real
+        n_pad = n_padded - n_real
+
+        def padded(arr, pad_shape, pad_val=0.0, dtype=np.float32):
+            # Pad with copies of the last real triangle: duplicates can tie
+            # the closest hit but never change it, shade identically, and
+            # keep cluster AABBs tight (degenerate-at-origin pads would
+            # bloat them).
+            arr = np.asarray(arr, dtype)
+            if n_pad:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], n_pad, axis=0)], axis=0
+                )
+            return arr
+
+        tv0.append(padded(mesh.positions[vidx[:, 0]], (3,)))
+        tv1.append(padded(mesh.positions[vidx[:, 1]], (3,)))
+        tv2.append(padded(mesh.positions[vidx[:, 2]], (3,)))
+        u0.append(padded(mesh.uvs[vidx[:, 0]], (2,)))
+        u1.append(padded(mesh.uvs[vidx[:, 1]], (2,)))
+        u2.append(padded(mesh.uvs[vidx[:, 2]], (2,)))
+        tmat.append(padded(mesh.tri_mat[order].astype(np.int64) + mat_off,
+                           (), 0, np.int32))
+        tvidx.append(padded(vidx.astype(np.int64) + vert_off, (3,), 0, np.int32))
         positions.append(mesh.positions)
 
         for m in mesh.materials:
@@ -137,21 +158,15 @@ def flatten_models(
             mti.append(-1)
 
         node_off += bvh.num_nodes
-        tri_off += mesh.num_triangles
+        tri_off += n_padded
         mat_off += len(mesh.materials)
         vert_off += mesh.positions.shape[0]
 
     t = tri_off
-    t_pad = -(-t // pad_to) * pad_to if pad_to > 1 else t
 
     def cat(parts, pad_shape, pad_val=0.0, dtype=np.float32):
-        out = np.concatenate(parts, axis=0).astype(dtype)
-        if t_pad > t and out.shape[0] == t:
-            pad = np.full((t_pad - t,) + pad_shape, pad_val, dtype)
-            out = np.concatenate([out, pad], axis=0)
-        return out
+        return np.concatenate(parts, axis=0).astype(dtype)
 
-    # Degenerate padding triangles: all corners coincident -> never hit.
     return FlatScene(
         model_first_node=np.asarray(first_nodes, np.int32),
         model_node_count=np.asarray(node_counts, np.int32),

@@ -193,14 +193,23 @@ def parse_mtl(path: str, materials: Dict[str, MaterialDef]) -> None:
             # Ka/Tf/Ni/Ke/d/illum/Tr/map_Ka recognized but ignored.
 
 
-def load_object(obj_path: str) -> MeshData:
+def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
     """Load an OBJ + its MTL libraries into a packed MeshData
     (``AssetUtils::LoadObject``, model_loader.cpp:20-32 +
     ``ConvertCPUGeometryToModel`` :280-365).
 
     Vertices are duplicated per face corner — positions+uvs packed — and
     each triangle records (v0, v1, v2, material).
+
+    ``use_native``: "auto" tries the C++ parser (native/srt_native.cpp,
+    identical semantics, ~20x faster on large files) and falls back here;
+    "never" forces this Python implementation.
     """
+    if use_native == "auto":
+        from srt_tpu.utils.native import load_object_native
+        mesh = load_object_native(obj_path)
+        if mesh is not None:
+            return mesh
     vertices, texcoords, _normals, sub_geos, mtl_files = parse_obj(obj_path)
 
     folder = os.path.dirname(obj_path)
