@@ -333,7 +333,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     else:
         raise ValueError(f"unknown traversal method: {method}")
 
-    def hit_tile(origins, dirs, t_min, t_max):
+    def hit_tile(origins, dirs, t_min, t_max, any_hit=False):
         n = origins.shape[0]
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         best_i = jnp.full((n,), MISS)
@@ -341,7 +341,11 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         best_v = jnp.zeros((n,), jnp.float32)
         best_b = jnp.zeros((n,), jnp.int32)
         for b in range(scene.num_models):
-            t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
+            if method == "pallas":
+                t, i, u, v = model_hit(scene, b, origins, dirs, best_t,
+                                       any_hit=any_hit)
+            else:
+                t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
             better = (i != MISS) & (t < best_t) & (t > t_min)
             best_t = jnp.where(better, t, best_t)
             best_i = jnp.where(better, i, best_i)
@@ -353,6 +357,13 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         idx = jnp.maximum(best_i, 0)
         t_safe = jnp.where(hit, best_t, 1.0)
         p = origins + t_safe[:, None] * dirs
+
+        if any_hit:
+            # Occlusion only: skip normals and material conversion.
+            zeros = jnp.zeros_like(p)
+            return Hit(hit=hit, t=best_t, p=p, normal=zeros,
+                       mat=triangle_material(scene, jnp.zeros_like(idx),
+                                             best_u, best_v))
 
         # Geometric normal in model space -> world (the reference leaves it
         # in model space, raytrace_compute.glsl:157; see RenderConfig).
@@ -378,10 +389,10 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     if ray_tile <= 0:
         return hit_tile
 
-    def hit_tiled(origins, dirs, t_min, t_max):
+    def hit_tiled(origins, dirs, t_min, t_max, any_hit=False):
         n = origins.shape[0]
         if n <= ray_tile:
-            return hit_tile(origins, dirs, t_min, t_max)
+            return hit_tile(origins, dirs, t_min, t_max, any_hit=any_hit)
         pad = (-n) % ray_tile
         o = jnp.pad(origins, ((0, pad), (0, 0)))
         d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
@@ -389,7 +400,8 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                      (0, pad), constant_values=1.0)
         tiles = (n + pad) // ray_tile
         res = jax.lax.map(
-            lambda args: hit_tile(args[0], args[1], t_min, args[2]),
+            lambda args: hit_tile(args[0], args[1], t_min, args[2],
+                                  any_hit=any_hit),
             (
                 o.reshape(tiles, ray_tile, 3),
                 d.reshape(tiles, ray_tile, 3),

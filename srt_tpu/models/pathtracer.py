@@ -56,12 +56,17 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
     """Closest-hit closure over a sphere scene (``CheckHit`` sphere loop,
     raytrace_compute.glsl:122-141)."""
 
-    def closest_hit(origins, dirs, t_min, t_max):
+    def closest_hit(origins, dirs, t_min, t_max, any_hit=False):
         hit, t, idx = intersect.sphere_hit(
             origins, dirs, spheres.center, spheres.radius, t_min, t_max
         )
         t_safe = jnp.where(hit, t, 1.0)
         p = origins + t_safe[:, None] * dirs
+        if any_hit:
+            # Shadow-ray fast path: occlusion only, skip shading data.
+            zeros = jnp.zeros_like(p)
+            return Hit(hit=hit, t=t, p=p, normal=zeros,
+                       mat=spheres.materials.take(jnp.zeros_like(idx)))
         normal, _front = intersect.sphere_normal(
             p, spheres.center[idx], spheres.radius[idx], dirs
         )
@@ -81,7 +86,7 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     if active is not None:
         dist = jnp.where(active, dist, 0.0)
     direction = safe_normalize(delta)
-    shadow = closest_hit(p, direction, t_min, dist)
+    shadow = closest_hit(p, direction, t_min, dist, any_hit=True)
     return shadow.hit
 
 
@@ -246,7 +251,10 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
     Returns linear radiance [H, W, 3]."""
     vp = derive_viewport(cam, origin=origin, look_at=look_at)
     jitter = stream.take(2)
-    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+    # Defocus slots are drawn only when depth of field is on, keeping the
+    # base slot protocol unchanged for oracle comparisons.
+    defocus = stream.take(2) if cam.defocus_angle > 0 else None
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter, defocus)
     radiance = trace_wavefront(closest_hit, lights, origins, dirs, stream, cfg)
     return radiance.reshape(cam.height, cam.width, 3)
 

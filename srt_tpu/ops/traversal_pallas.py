@@ -320,9 +320,13 @@ def _exact_refine(scene, idx, origins, dirs):
 
 
 def pallas_model_hit(scene, b: int, origins, dirs, t_best,
-                     tile: int = DEFAULT_TILE):
+                     tile: int = DEFAULT_TILE, any_hit: bool = False):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
-    strategies in models/mesh.py.  Returns (t [N], tri_idx [N], u, v)."""
+    strategies in models/mesh.py.  Returns (t [N], tri_idx [N], u, v).
+
+    ``any_hit=True`` is the shadow-ray fast path: skips the exact (t,u,v)
+    refinement (only the hit/miss answer and the kernel's candidate t are
+    returned)."""
     from srt_tpu.models.mesh import transform_rays
 
     if scene.woop is None:
@@ -376,6 +380,9 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
 
     hit = out_i >= 0
     idx = jnp.where(hit, out_i + lo, -1)
+    if any_hit:
+        zeros = jnp.zeros_like(out_t)
+        return jnp.where(hit, out_t, jnp.inf), idx, zeros, zeros
     t, u, v = _exact_refine(scene, idx, o_m, d_m)
     t = jnp.where(hit, t, jnp.inf)
     return t, idx, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
