@@ -75,6 +75,40 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
     return closest_hit
 
 
+def union_hit_fn(*hit_fns: HitFn) -> HitFn:
+    """Combine closest-hit functions into one scene: the nearest hit wins.
+
+    The reference switches between spheres and models with the
+    ``showModel`` uniform (raytrace_compute.glsl:132-143, either/or);
+    this generalizes to heterogeneous scenes (spheres + meshes together).
+    """
+
+    def closest_hit(origins, dirs, t_min, t_max, any_hit=False):
+        best = None
+        for fn in hit_fns:
+            try:
+                rec = fn(origins, dirs, t_min, t_max, any_hit=any_hit)
+            except TypeError:
+                rec = fn(origins, dirs, t_min, t_max)
+            if best is None:
+                best = rec
+                continue
+            closer = rec.hit & (~best.hit | (rec.t < best.t))
+            sel = lambda a, b, m=closer: jnp.where(
+                m.reshape(m.shape + (1,) * (a.ndim - m.ndim)), a, b
+            )
+            best = Hit(
+                hit=best.hit | rec.hit,
+                t=jnp.where(closer, rec.t, best.t),
+                p=sel(rec.p, best.p),
+                normal=sel(rec.normal, best.normal),
+                mat=jax.tree_util.tree_map(sel, rec.mat, best.mat),
+            )
+        return best
+
+    return closest_hit
+
+
 def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
     cast p -> light, occluded if anything hits before the light.

@@ -112,6 +112,14 @@ def schlick_fresnel_legacy(f0, u):
     return f0 + (1.0 - f0) * jnp.power(jnp.maximum(0.001, 1.0 - u[..., None]), 5.0)
 
 
+def probability_to_sample_diffuse(diff_brdf, spec_brdf):
+    """Luminance-ratio lobe probability (``probabilityToSampleDiffuse``,
+    raytrace_utils.glsl:115-119; used by the reference's legacy sampler)."""
+    lum_d = jnp.maximum(0.01, luminance(diff_brdf))
+    lum_s = jnp.maximum(0.01, luminance(spec_brdf))
+    return lum_d / (lum_d + lum_s)
+
+
 def perpendicular_vector(u):
     """Branchless perpendicular basis vector (raytrace_utils.glsl:123-129)."""
     a = jnp.abs(u)

@@ -119,3 +119,40 @@ def test_textured_mesh_renders(tmp_path):
         cam, cfg, jax.random.key(0),
     )
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_union_scene_spheres_plus_mesh():
+    """Heterogeneous scene: sphere in front of a cube — union picks the
+    closest hit per ray (generalizes the reference's showModel switch)."""
+    from srt_tpu.scene import Materials, Spheres, make_materials
+
+    sph = Spheres(
+        center=jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+        radius=jnp.asarray([0.5], jnp.float32),
+        materials=make_materials([((1, 0, 0), (0.5,) * 3, 0.2, 0.1, True)]),
+    )
+    cube_scene = mesh_mod.upload(flatten_models([procgen.cube(size=2.0)]))
+    union = pathtracer.union_hit_fn(
+        pathtracer.spheres_hit_fn(sph),
+        mesh_mod.mesh_hit_fn(cube_scene, method="dense"),
+    )
+    o = jnp.asarray([[0, 0, 5], [0.9, 0.9, 5]], jnp.float32)
+    d = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32)
+    rec = union(o, d, 1e-3, jnp.full((2,), jnp.inf))
+    hits = np.asarray(rec.hit)
+    t = np.asarray(rec.t)
+    assert hits.all()
+    # Ray 0 hits the sphere (t = 5 - 2 - 0.5 = 2.5), closer than cube (4).
+    np.testing.assert_allclose(t[0], 2.5, rtol=1e-5)
+    # Ray 1 misses the sphere, hits the cube front face at z=1 -> t=4.
+    np.testing.assert_allclose(t[1], 4.0, rtol=1e-5)
+    # Material of ray 0 comes from the sphere (red albedo).
+    np.testing.assert_allclose(np.asarray(rec.mat.albedo)[0], [1, 0, 0],
+                               atol=1e-6)
+
+    # And it renders through the integrator.
+    cam = CameraConfig(width=12, height=8, origin=(0, 0, 5), look_at=(0, 0, 0))
+    img = pathtracer.render(union, sphere_scene_lights(), cam,
+                            RenderConfig(max_depth=2, rr_bounces=0),
+                            jax.random.key(0))
+    assert np.isfinite(np.asarray(img)).all()
