@@ -311,6 +311,54 @@ def pallas_model_hit_for_tests(scene: MeshScene, origins, dirs, t_best):
     return pallas_model_hit(scene, 0, origins, dirs, t_best)
 
 
+def _tri_record(scene: MeshScene) -> jnp.ndarray:
+    """Pack everything shading needs per triangle into one [T, 24] table.
+
+    Row gathers on TPU cost milliseconds per 256k indices (ops/gather.py),
+    so the post-hit pass does ONE ``record[idx]`` gather instead of ~12
+    separate vertex/uv/material gathers.  Layout: v0 v1 v2 (9), uv0 uv1 uv2
+    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1).  Built from the
+    scene's differentiable arrays inside the trace, so material/vertex
+    gradients flow through the packing; the per-triangle material expansion
+    is a [T]-sized gather (trivial).
+    """
+    m = scene.tri_mat
+    return jnp.concatenate([
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.uv0, scene.uv1, scene.uv2,
+        scene.mat_diffuse[m], scene.mat_specular[m],
+        scene.mat_specular_ex[m][:, None],
+        scene.mat_use_texture[m][:, None].astype(jnp.float32),
+        scene.mat_tex_index[m][:, None].astype(jnp.float32),
+    ], axis=1)
+
+
+def _record_material(scene: MeshScene, rec, u, v) -> Materials:
+    """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
+    packed per-triangle record — no per-ray table gathers."""
+    albedo = rec[:, 15:18]
+    if scene.atlas is not None:
+        from srt_tpu.ops.texture import sample_atlas
+        uv = (
+            (1.0 - u - v)[:, None] * rec[:, 9:11]
+            + u[:, None] * rec[:, 11:13]
+            + v[:, None] * rec[:, 13:15]
+        )
+        tex_rgb = sample_atlas(
+            scene.atlas, scene.atlas_rects,
+            rec[:, 23].astype(jnp.int32), uv
+        )
+        albedo = jnp.where(rec[:, 22:23] > 0.5, tex_rgb, albedo)
+    n = rec.shape[0]
+    return Materials(
+        albedo=albedo,
+        specular=rec[:, 18:21],
+        roughness=1.0 / (rec[:, 21] + ROUGHNESS_EPS),
+        metalness=jnp.full((n,), MESH_METALNESS, jnp.float32),
+        use_spec=jnp.ones((n,), bool),
+    )
+
+
 def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 flip_normals: bool = True, ray_tile: int = 0) -> HitFn:
     """Build the integrator's closest-hit callable for a mesh scene.
@@ -342,8 +390,10 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         best_b = jnp.zeros((n,), jnp.int32)
         for b in range(scene.num_models):
             if method == "pallas":
+                # Kernel candidates only; exact (t, u, v) is re-derived once
+                # for the cross-model winner below (one gather, not 3/model).
                 t, i, u, v = model_hit(scene, b, origins, dirs, best_t,
-                                       any_hit=any_hit)
+                                       any_hit=any_hit, refine=False)
             else:
                 t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
             better = (i != MISS) & (t < best_t) & (t > t_min)
@@ -354,36 +404,70 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             best_b = jnp.where(better, b, best_b)
 
         hit = best_i != MISS
+
+        if any_hit:
+            # Occlusion only: no shading data, no gathers at all.
+            t_safe = jnp.where(hit, best_t, 1.0)
+            p = origins + t_safe[:, None] * dirs
+            zeros = jnp.zeros_like(p)
+            return Hit(
+                hit=hit, t=best_t, p=p, normal=zeros,
+                mat=Materials(
+                    albedo=zeros, specular=zeros,
+                    roughness=jnp.ones((n,), jnp.float32),
+                    metalness=jnp.zeros((n,), jnp.float32),
+                    use_spec=jnp.zeros((n,), bool),
+                ),
+            )
+
+        # --- Shared post-pass: ONE packed-record gather for the winner ---
         idx = jnp.maximum(best_i, 0)
+        rec = _tri_record(scene)[idx]                       # [N, 24]
+        v0, v1, v2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+        e1 = v1 - v0
+        e2 = v2 - v0
+
+        # Winning model's ray transform (frames table is tiny: select-chain).
+        if scene.num_models == 1:
+            frame = scene.frames[0]
+            o_m, d_m = transform_rays(frame, origins, dirs)
+            rot_t = jnp.broadcast_to(frame[:3, :3], (n, 3, 3))
+        else:
+            from srt_tpu.ops.gather import take_small
+            f = take_small(scene.frames, best_b)            # [N, 4, 4]
+            o_m = jnp.einsum("nij,nj->ni", f[:, :3, :3], origins) + f[:, :3, 3]
+            d_m = jnp.einsum("nij,nj->ni", f[:, :3, :3], dirs)
+            rot_t = f[:, :3, :3]
+
+        if method == "pallas":
+            # Exact Moller-Trumbore refine of the kernel's winner so
+            # (t, u, v) precision matches the dense path.
+            h = jnp.cross(d_m, e2)
+            a = jnp.sum(e1 * h, axis=-1)
+            parallel = jnp.abs(a) < intersect.MT_PARALLEL_EPS
+            f_inv = 1.0 / jnp.where(parallel, 1.0, a)
+            s = o_m - v0
+            u_r = f_inv * jnp.sum(s * h, axis=-1)
+            q = jnp.cross(s, e1)
+            v_r = f_inv * jnp.sum(d_m * q, axis=-1)
+            t_r = f_inv * jnp.sum(e2 * q, axis=-1)
+            best_t = jnp.where(hit, t_r, best_t)
+            best_u = jnp.where(hit, u_r, 0.0)
+            best_v = jnp.where(hit, v_r, 0.0)
+
         t_safe = jnp.where(hit, best_t, 1.0)
         p = origins + t_safe[:, None] * dirs
 
-        if any_hit:
-            # Occlusion only: skip normals and material conversion.
-            zeros = jnp.zeros_like(p)
-            return Hit(hit=hit, t=best_t, p=p, normal=zeros,
-                       mat=triangle_material(scene, jnp.zeros_like(idx),
-                                             best_u, best_v))
-
         # Geometric normal in model space -> world (the reference leaves it
         # in model space, raytrace_compute.glsl:157; see RenderConfig).
-        n_model = intersect.triangle_geometric_normal(
-            scene.tri_v0[idx], scene.tri_v1[idx], scene.tri_v2[idx]
-        )
-        if scene.num_models == 1:
-            normal = normal_to_world(scene.frames[0], n_model)
-        else:
-            # Per-ray frame gather: n_w = F^T n_m, batched.
-            f = scene.frames[best_b]                       # [N, 4, 4]
-            from srt_tpu.ops.safemath import safe_normalize
-            normal = safe_normalize(
-                jnp.einsum("nij,ni->nj", f[:, :3, :3], n_model)
-            )
+        from srt_tpu.ops.safemath import safe_normalize
+        n_model = safe_normalize(jnp.cross(e1, e2))
+        normal = safe_normalize(jnp.einsum("nij,ni->nj", rot_t, n_model))
         if flip_normals:
             facing = jnp.sum(normal * dirs, axis=-1) < 0.0
             normal = jnp.where(facing[:, None], normal, -normal)
 
-        mat = triangle_material(scene, idx, best_u, best_v)
+        mat = _record_material(scene, rec, best_u, best_v)
         return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat)
 
     if ray_tile <= 0:

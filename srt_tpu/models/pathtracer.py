@@ -33,6 +33,7 @@ from srt_tpu.camera import derive_viewport, generate_rays
 from srt_tpu.config import CameraConfig, RenderConfig
 from srt_tpu.ops import brdf
 from srt_tpu.ops import intersect
+from srt_tpu.ops.gather import take_small
 from srt_tpu.ops.safemath import safe_normalize
 from srt_tpu.ops.rng import ArrayStream, KeyStream
 from srt_tpu.scene import Lights, Materials, Spheres
@@ -68,7 +69,8 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
             return Hit(hit=hit, t=t, p=p, normal=zeros,
                        mat=spheres.materials.take(jnp.zeros_like(idx)))
         normal, _front = intersect.sphere_normal(
-            p, spheres.center[idx], spheres.radius[idx], dirs
+            p, take_small(spheres.center, idx), take_small(spheres.radius, idx),
+            dirs
         )
         return Hit(hit=hit, t=t, p=p, normal=normal, mat=spheres.materials.take(idx))
 
@@ -184,9 +186,9 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         sampled, light_idx, light_w = brdf.sample_lights_ris(
             rec.p, lights, u_idx, u_sel
         )
-        l_pos = lights.position[light_idx]
-        l_col = lights.color[light_idx]
-        l_int = lights.intensity[light_idx]
+        l_pos = take_small(lights.position, light_idx)
+        l_col = take_small(lights.color, light_idx)
+        l_int = take_small(lights.intensity, light_idx)
 
         occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
         shadow_mult = jnp.where(occ, 0.0, 1.0)

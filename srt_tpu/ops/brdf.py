@@ -369,14 +369,27 @@ def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
     sel_pdf = jnp.zeros((n,), p.dtype)
     selected = jnp.zeros((n,), bool)
 
+    # Per-light pdf = intensity * falloff, computed once for all L lights
+    # with no gathers (row gathers cost milliseconds per 256k rays on TPU;
+    # see ops/gather.py).  The reservoir loop then selects by index with
+    # cheap where-chains.
+    pdf_k = [
+        lights.intensity[k] * light_falloff(p, lights.position[k])
+        for k in range(num_lights)
+    ]
+
+    def pdf_at(cand):
+        out = pdf_k[0]
+        for k in range(1, num_lights):
+            out = jnp.where(cand == k, pdf_k[k], out)
+        return out
+
     for i in range(num_lights):
         cand = jnp.clip(
             jnp.floor(u_idx[:, i] * num_lights).astype(jnp.int32), 0, num_lights - 1
         )
-        falloff = light_falloff(p, lights.position[cand])
-        intensity = lights.intensity[cand] * falloff
         # luminance of a grey vec3(intensity) is just intensity
-        light_pdf = intensity
+        light_pdf = pdf_at(cand)
         ris_w = light_pdf * num_lights
         total = total + ris_w
         accept = u_sel[:, i] < jnp.where(total > 0.0, ris_w / jnp.where(total > 0.0, total, 1.0), 0.0)

@@ -111,12 +111,16 @@ def build_clusters(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _intersect_kernel(count_ref, active_ref, rays_ref, woop_ref,
-                      out_t_ref, out_i_ref, *, tile: int):
+                      out_t_ref, out_i_ref, bt_ref, bi_ref, *, tile: int):
     """One ray tile vs its active clusters of one model.
 
     count_ref:  [8, 1] int32 SMEM — active clusters per tile (8-row window,
-                this tile's row is program_id % 8);
-    active_ref: [8, C] int32 SMEM — compacted active cluster ids;
+                this tile's row is program_id % 8); only used to skip
+                all-dead / no-overlap tiles outright;
+    active_ref: [8, C] int32 SMEM — per-cluster occupancy bits (1 = some
+                ray in the tile enters the cluster AABB); inactive clusters
+                are skipped with a branch, which replaces the host-side
+                argsort compaction (the XLA sort cost ~1.4 ms per call);
     rays_ref:   [tile, 8] VMEM — ox oy oz dx dy dz t_max pad;
     woop_ref:   [C, 16, 128] VMEM — per-cluster Woop rows (13 used, padded
                 to 16 sublanes) so cluster selection is a dynamic index on
@@ -140,51 +144,55 @@ def _intersect_kernel(count_ref, active_ref, rays_ref, woop_ref,
     out_t_ref[:] = t_max
     out_i_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
 
-    def cluster_body(k, state):
-        # Lane-wise running minima: no cross-lane reduction inside the
-        # loop; one min+select at the end.
-        best_t, best_i = state                    # [tile, 128] each
-        c = active_ref[row, k]
-        base = c * CLUSTER
-        w = woop_ref[c]                           # [16, 128]
+    n_clusters = woop_ref.shape[0]
 
-        def r(j):
-            return w[j:j + 1, :]                  # [1, 128]
+    def cluster_body(c, carry):
+        # Lane-wise running minima held in VMEM scratch, mutated in place —
+        # skipped clusters cost one SMEM read + branch, no state copies
+        # (a lax.cond carrying [tile, 128] state copies it per iteration).
+        @pl.when(active_ref[row, c] > 0)
+        def _intersect_cluster():
+            best_t = bt_ref[:]
+            best_i = bi_ref[:]
+            base = c * CLUSTER
+            w = woop_ref[c]                       # [16, 128]
 
-        zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
-        zd = dx * r(8) + dy * r(9) + dz * r(10)
-        parallel = jnp.abs(zd) <= r(12)
-        den = jnp.where(parallel, 1.0, zd)
-        inv = pl.reciprocal(den, approx=True)
-        inv = inv * (2.0 - den * inv)             # one Newton step
-        t = -zo * inv
-        xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
-        xd = dx * r(0) + dy * r(1) + dz * r(2)
-        u = xo + t * xd
-        yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
-        yd = dx * r(4) + dy * r(5) + dz * r(6)
-        v = yo + t * yd
+            def r(j):
+                return w[j:j + 1, :]              # [1, 128]
 
-        valid = (
-            (~parallel)
-            & (t > T_EPS)
-            & (u >= -EDGE_EPS) & (v >= -EDGE_EPS)
-            & (u + v <= 1.0 + 2 * EDGE_EPS)
-            & (t < best_t)
-        )
-        best_i = jnp.where(valid, base + lane, best_i)
-        best_t = jnp.where(valid, t, best_t)
-        return best_t, best_i
+            zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+            zd = dx * r(8) + dy * r(9) + dz * r(10)
+            parallel = jnp.abs(zd) <= r(12)
+            den = jnp.where(parallel, 1.0, zd)
+            inv = pl.reciprocal(den, approx=True)
+            inv = inv * (2.0 - den * inv)         # one Newton step
+            t = -zo * inv
+            xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+            xd = dx * r(0) + dy * r(1) + dz * r(2)
+            u = xo + t * xd
+            yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+            yd = dx * r(4) + dy * r(5) + dz * r(6)
+            v = yo + t * yd
+
+            valid = (
+                (~parallel)
+                & (t > T_EPS)
+                & (u >= -EDGE_EPS) & (v >= -EDGE_EPS)
+                & (u + v <= 1.0 + 2 * EDGE_EPS)
+                & (t < best_t)
+            )
+            bi_ref[:] = jnp.where(valid, base + lane, best_i)
+            bt_ref[:] = jnp.where(valid, t, best_t)
+
+        return carry
 
     @pl.when(count_ref[row, 0] > 0)
     def _process():
-        init = (
-            jnp.broadcast_to(t_max, (tile, CLUSTER)),
-            jnp.full((tile, CLUSTER), jnp.int32(2 ** 30), jnp.int32),
-        )
-        best_t, best_i = jax.lax.fori_loop(
-            0, count_ref[row, 0], cluster_body, init
-        )
+        bt_ref[:] = jnp.broadcast_to(t_max, (tile, CLUSTER))
+        bi_ref[:] = jnp.full((tile, CLUSTER), jnp.int32(2 ** 30), jnp.int32)
+        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+        best_t = bt_ref[:]
+        best_i = bi_ref[:]
         t_min = jnp.min(best_t, axis=1, keepdims=True)
         hit = t_min < t_max
         # Smallest triangle index among lanes attaining the minimum.
@@ -225,6 +233,10 @@ def _launch(counts, active, rays, woop, tile: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, CLUSTER), jnp.float32),
+            pltpu.VMEM((tile, CLUSTER), jnp.int32),
         ],
         interpret=interpret,
     )(counts, active, rays, woop)
@@ -320,13 +332,17 @@ def _exact_refine(scene, idx, origins, dirs):
 
 
 def pallas_model_hit(scene, b: int, origins, dirs, t_best,
-                     tile: int = DEFAULT_TILE, any_hit: bool = False):
+                     tile: int = DEFAULT_TILE, any_hit: bool = False,
+                     refine: bool = True):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
     strategies in models/mesh.py.  Returns (t [N], tri_idx [N], u, v).
 
     ``any_hit=True`` is the shadow-ray fast path: skips the exact (t,u,v)
     refinement (only the hit/miss answer and the kernel's candidate t are
-    returned)."""
+    returned).  ``refine=False`` returns the kernel's fp32 candidate t with
+    zero u/v — the multi-model caller (models/mesh.py) re-derives exact
+    (t, u, v) once for the cross-model winner, saving per-model vertex
+    gathers (row gathers cost ~ms per 256k rays on TPU)."""
     from srt_tpu.models.mesh import transform_rays
 
     if scene.woop is None:
@@ -370,17 +386,14 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     interpret = jax.default_backend() != "tpu"
     occ_tile = _launch_occupancy(rays8, bounds, tile, interpret)  # [tiles, C]
     counts = occ_tile.sum(axis=1, dtype=jnp.int32)[:, None]       # [tiles, 1]
-    # Stable ascending order with active clusters first.
-    active = jnp.argsort(1 - occ_tile, axis=1,
-                         stable=True).astype(jnp.int32)            # [tiles, C]
 
-    out_t, out_i = _launch(counts, active, rays8, woop_slice, tile, interpret)
+    out_t, out_i = _launch(counts, occ_tile, rays8, woop_slice, tile, interpret)
     out_t = out_t[:n, 0]
     out_i = out_i[:n, 0]
 
     hit = out_i >= 0
     idx = jnp.where(hit, out_i + lo, -1)
-    if any_hit:
+    if any_hit or not refine:
         zeros = jnp.zeros_like(out_t)
         return jnp.where(hit, out_t, jnp.inf), idx, zeros, zeros
     t, u, v = _exact_refine(scene, idx, o_m, d_m)

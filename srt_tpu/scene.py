@@ -32,13 +32,16 @@ class Materials:
     use_spec: jnp.ndarray   # [M] bool
 
     def take(self, idx: jnp.ndarray) -> "Materials":
-        """Gather per-ray materials by index (idx: [N] -> fields [N, ...])."""
+        """Per-ray materials by index (idx: [N] -> fields [N, ...]).
+        Select-chain for small tables; real gather past the limit
+        (ops/gather.py)."""
+        from srt_tpu.ops.gather import take_small
         return Materials(
-            albedo=self.albedo[idx],
-            specular=self.specular[idx],
-            roughness=self.roughness[idx],
-            metalness=self.metalness[idx],
-            use_spec=self.use_spec[idx],
+            albedo=take_small(self.albedo, idx),
+            specular=take_small(self.specular, idx),
+            roughness=take_small(self.roughness, idx),
+            metalness=take_small(self.metalness, idx),
+            use_spec=take_small(self.use_spec, idx),
         )
 
     @property
