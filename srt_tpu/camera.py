@@ -101,15 +101,15 @@ def generate_rays(vp: Viewport, width: int, height: int, jitter: jnp.ndarray,
                   defocus: jnp.ndarray = None):
     """Primary rays for the full image as a wavefront batch.
 
-    ``jitter``: [N, 2] uniforms in [0, 1) — the pixel-area sample
+    ``jitter``: [2, N] uniforms in [0, 1) — the pixel-area sample
     (``SampleSquare``, raytrace_utils.glsl:10-17, centered here to
-    [-0.5, 0.5)).  ``defocus``: optional [N, 2] uniforms for thin-lens
+    [-0.5, 0.5)).  ``defocus``: optional [2, N] uniforms for thin-lens
     depth of field — ray origins sample the defocus disk
     (``defocusDiskSample``, camera.cpp:36-39; dormant in the reference's
-    GPU path, raytrace_compute.glsl:83).  Returns (origins [N, 3],
-    directions [N, 3]) with N = height*width in row-major (y, x) order;
-    directions are unnormalized like the reference (``GetRay``,
-    raytrace_compute.glsl:85).
+    GPU path, raytrace_compute.glsl:83).  Returns (origins [3, N],
+    directions [3, N]) — component-first wavefront layout (ops/vec.py) —
+    with N = height*width in row-major (y, x) order; directions are
+    unnormalized like the reference (``GetRay``, raytrace_compute.glsl:85).
     """
     ys, xs = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32),
@@ -119,16 +119,16 @@ def generate_rays(vp: Viewport, width: int, height: int, jitter: jnp.ndarray,
     i = xs.reshape(-1)
     j = ys.reshape(-1)
     off = jitter - 0.5
-    px = vp.pixel00[None, :] \
-        + (i + off[:, 0])[:, None] * vp.delta_u[None, :] \
-        + (j + off[:, 1])[:, None] * vp.delta_v[None, :]
-    origins = jnp.broadcast_to(vp.center[None, :], px.shape)
+    px = vp.pixel00[:, None] \
+        + (i + off[0])[None, :] * vp.delta_u[:, None] \
+        + (j + off[1])[None, :] * vp.delta_v[:, None]
+    origins = jnp.broadcast_to(vp.center[:, None], px.shape)
     if defocus is not None:
-        r = jnp.sqrt(defocus[:, 0])
-        theta = 2.0 * jnp.pi * defocus[:, 1]
+        r = jnp.sqrt(defocus[0])
+        theta = 2.0 * jnp.pi * defocus[1]
         origins = origins \
-            + (r * jnp.cos(theta))[:, None] * vp.defocus_u[None, :] \
-            + (r * jnp.sin(theta))[:, None] * vp.defocus_v[None, :]
+            + (r * jnp.cos(theta))[None, :] * vp.defocus_u[:, None] \
+            + (r * jnp.sin(theta))[None, :] * vp.defocus_v[:, None]
     return origins, px - origins
 
 

@@ -33,6 +33,7 @@ from flax import struct
 
 from srt_tpu.models.pathtracer import Hit, HitFn
 from srt_tpu.ops import intersect
+from srt_tpu.ops import vec
 from srt_tpu.scene import Materials
 from srt_tpu.utils.flatten import FlatScene
 
@@ -158,9 +159,11 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
 
 def transform_rays(frame, origins, dirs):
     """World ray -> model space (raytrace_compute.glsl:146-147):
-    origin as a point, direction as a vector (no normalize)."""
-    o = origins @ frame[:3, :3].T + frame[:3, 3]
-    d = dirs @ frame[:3, :3].T
+    origin as a point, direction as a vector (no normalize).
+    origins/dirs: [3, N] component-first (ops/vec.py)."""
+    rot = frame[:3, :3]
+    o = rot @ origins + frame[:3, 3][:, None]
+    d = rot @ dirs
     return o, d
 
 
@@ -178,12 +181,13 @@ def normal_to_world(frame, normals):
 # ---------------------------------------------------------------------------
 
 def _dense_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
-    """All-triangles sweep for model ``b``; returns (t, tri_idx, u, v)."""
+    """All-triangles sweep for model ``b``; returns (t, tri_idx, u, v).
+    origins/dirs [3, N]; the dense MT kernel keeps its [N, T] layout."""
     lo = scene.model_first_tri[b]
     hi = lo + scene.model_tri_count[b]
     o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
     t_all, u_all, v_all = intersect.moller_trumbore(
-        o_m, d_m, scene.tri_v0[lo:hi], scene.tri_v1[lo:hi], scene.tri_v2[lo:hi]
+        o_m.T, d_m.T, scene.tri_v0[lo:hi], scene.tri_v1[lo:hi], scene.tri_v2[lo:hi]
     )
     t_all = jnp.where(t_all < t_best[:, None], t_all, INF)
     k = jnp.argmin(t_all, axis=1)
@@ -268,7 +272,7 @@ def _bvh_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
     root = scene.model_first_node[b]
     t, i, u, v = jax.vmap(
         lambda o, d, tb: _bvh_traverse_single(scene, root, o, d, tb)
-    )(o_m, d_m, t_best)
+    )(o_m.T, d_m.T, t_best)
     return t, i, u, v
 
 
@@ -306,7 +310,7 @@ def triangle_material(scene: MeshScene, tri_idx, u, v) -> Materials:
 
 
 def pallas_model_hit_for_tests(scene: MeshScene, origins, dirs, t_best):
-    """Direct single-model kernel entry (test hook)."""
+    """Direct single-model kernel entry (test hook; [3, N] rays)."""
     from srt_tpu.ops.traversal_pallas import pallas_model_hit
     return pallas_model_hit(scene, 0, origins, dirs, t_best)
 
@@ -333,27 +337,28 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
     ], axis=1)
 
 
-def _record_material(scene: MeshScene, rec, u, v) -> Materials:
+def _record_material(scene: MeshScene, rec_t, u, v) -> Materials:
     """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
-    packed per-triangle record — no per-ray table gathers."""
-    albedo = rec[:, 15:18]
+    packed per-triangle record (component-first [24, N]) — no per-ray
+    table gathers."""
+    albedo = rec_t[15:18]
     if scene.atlas is not None:
         from srt_tpu.ops.texture import sample_atlas
         uv = (
-            (1.0 - u - v)[:, None] * rec[:, 9:11]
-            + u[:, None] * rec[:, 11:13]
-            + v[:, None] * rec[:, 13:15]
+            (1.0 - u - v)[None, :] * rec_t[9:11]
+            + u[None, :] * rec_t[11:13]
+            + v[None, :] * rec_t[13:15]
         )
         tex_rgb = sample_atlas(
             scene.atlas, scene.atlas_rects,
-            rec[:, 23].astype(jnp.int32), uv
-        )
-        albedo = jnp.where(rec[:, 22:23] > 0.5, tex_rgb, albedo)
-    n = rec.shape[0]
+            rec_t[23].astype(jnp.int32), uv.T
+        ).T
+        albedo = jnp.where(rec_t[22:23] > 0.5, tex_rgb, albedo)
+    n = rec_t.shape[1]
     return Materials(
         albedo=albedo,
-        specular=rec[:, 18:21],
-        roughness=1.0 / (rec[:, 21] + ROUGHNESS_EPS),
+        specular=rec_t[18:21],
+        roughness=1.0 / (rec_t[21] + ROUGHNESS_EPS),
         metalness=jnp.full((n,), MESH_METALNESS, jnp.float32),
         use_spec=jnp.ones((n,), bool),
     )
@@ -382,7 +387,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         raise ValueError(f"unknown traversal method: {method}")
 
     def hit_tile(origins, dirs, t_min, t_max, any_hit=False):
-        n = origins.shape[0]
+        n = origins.shape[1]
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         best_i = jnp.full((n,), MISS)
         best_u = jnp.zeros((n,), jnp.float32)
@@ -408,7 +413,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         if any_hit:
             # Occlusion only: no shading data, no gathers at all.
             t_safe = jnp.where(hit, best_t, 1.0)
-            p = origins + t_safe[:, None] * dirs
+            p = origins + t_safe[None, :] * dirs
             zeros = jnp.zeros_like(p)
             return Hit(
                 hit=hit, t=best_t, p=p, normal=zeros,
@@ -420,66 +425,75 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 ),
             )
 
-        # --- Shared post-pass: ONE packed-record gather for the winner ---
+        # --- Shared post-pass: ONE packed-record gather for the winner,
+        # transposed once into the component-first layout ---
         idx = jnp.maximum(best_i, 0)
-        rec = _tri_record(scene)[idx]                       # [N, 24]
-        v0, v1, v2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+        rec_t = _tri_record(scene)[idx].T                   # [24, N]
+        v0, v1, v2 = rec_t[0:3], rec_t[3:6], rec_t[6:9]
         e1 = v1 - v0
         e2 = v2 - v0
 
-        # Winning model's ray transform (frames table is tiny: select-chain).
+        # Geometric normal in model space (the reference leaves it in model
+        # space, raytrace_compute.glsl:157; see RenderConfig).
+        n_model = vec.normalize(vec.cross(e1, e2))
+
+        # Winning model's ray transform + normal-to-world (frames table is
+        # tiny: per-model transforms selected by where-chain, no [N, 4, 4]
+        # gather ever materializes).
         if scene.num_models == 1:
-            frame = scene.frames[0]
-            o_m, d_m = transform_rays(frame, origins, dirs)
-            rot_t = jnp.broadcast_to(frame[:3, :3], (n, 3, 3))
+            rot = scene.frames[0][:3, :3]
+            o_m, d_m = transform_rays(scene.frames[0], origins, dirs)
+            normal = rot.T @ n_model
         else:
-            from srt_tpu.ops.gather import take_small
-            f = take_small(scene.frames, best_b)            # [N, 4, 4]
-            o_m = jnp.einsum("nij,nj->ni", f[:, :3, :3], origins) + f[:, :3, 3]
-            d_m = jnp.einsum("nij,nj->ni", f[:, :3, :3], dirs)
-            rot_t = f[:, :3, :3]
+            o_m = d_m = normal = None
+            for b in range(scene.num_models):
+                o_b, d_b = transform_rays(scene.frames[b], origins, dirs)
+                n_b = scene.frames[b][:3, :3].T @ n_model
+                if o_m is None:
+                    o_m, d_m, normal = o_b, d_b, n_b
+                else:
+                    m = (best_b == b)[None, :]
+                    o_m = jnp.where(m, o_b, o_m)
+                    d_m = jnp.where(m, d_b, d_m)
+                    normal = jnp.where(m, n_b, normal)
+        normal = vec.normalize(normal)
 
         if method == "pallas":
             # Exact Moller-Trumbore refine of the kernel's winner so
             # (t, u, v) precision matches the dense path.
-            h = jnp.cross(d_m, e2)
-            a = jnp.sum(e1 * h, axis=-1)
+            h = vec.cross(d_m, e2)
+            a = jnp.sum(e1 * h, axis=0)
             parallel = jnp.abs(a) < intersect.MT_PARALLEL_EPS
             f_inv = 1.0 / jnp.where(parallel, 1.0, a)
             s = o_m - v0
-            u_r = f_inv * jnp.sum(s * h, axis=-1)
-            q = jnp.cross(s, e1)
-            v_r = f_inv * jnp.sum(d_m * q, axis=-1)
-            t_r = f_inv * jnp.sum(e2 * q, axis=-1)
+            u_r = f_inv * jnp.sum(s * h, axis=0)
+            q = vec.cross(s, e1)
+            v_r = f_inv * jnp.sum(d_m * q, axis=0)
+            t_r = f_inv * jnp.sum(e2 * q, axis=0)
             best_t = jnp.where(hit, t_r, best_t)
             best_u = jnp.where(hit, u_r, 0.0)
             best_v = jnp.where(hit, v_r, 0.0)
 
         t_safe = jnp.where(hit, best_t, 1.0)
-        p = origins + t_safe[:, None] * dirs
+        p = origins + t_safe[None, :] * dirs
 
-        # Geometric normal in model space -> world (the reference leaves it
-        # in model space, raytrace_compute.glsl:157; see RenderConfig).
-        from srt_tpu.ops.safemath import safe_normalize
-        n_model = safe_normalize(jnp.cross(e1, e2))
-        normal = safe_normalize(jnp.einsum("nij,ni->nj", rot_t, n_model))
         if flip_normals:
-            facing = jnp.sum(normal * dirs, axis=-1) < 0.0
-            normal = jnp.where(facing[:, None], normal, -normal)
+            facing = jnp.sum(normal * dirs, axis=0) < 0.0
+            normal = jnp.where(facing[None, :], normal, -normal)
 
-        mat = _record_material(scene, rec, best_u, best_v)
+        mat = _record_material(scene, rec_t, best_u, best_v)
         return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat)
 
     if ray_tile <= 0:
         return hit_tile
 
     def hit_tiled(origins, dirs, t_min, t_max, any_hit=False):
-        n = origins.shape[0]
+        n = origins.shape[1]
         if n <= ray_tile:
             return hit_tile(origins, dirs, t_min, t_max, any_hit=any_hit)
         pad = (-n) % ray_tile
-        o = jnp.pad(origins, ((0, pad), (0, 0)))
-        d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        o = jnp.pad(origins, ((0, 0), (0, pad)))
+        d = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
         tm = jnp.pad(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
                      (0, pad), constant_values=1.0)
         tiles = (n + pad) // ray_tile
@@ -487,15 +501,20 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             lambda args: hit_tile(args[0], args[1], t_min, args[2],
                                   any_hit=any_hit),
             (
-                o.reshape(tiles, ray_tile, 3),
-                d.reshape(tiles, ray_tile, 3),
+                o.reshape(3, tiles, ray_tile).transpose(1, 0, 2),
+                d.reshape(3, tiles, ray_tile).transpose(1, 0, 2),
                 tm.reshape(tiles, ray_tile),
             ),
         )
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((tiles * ray_tile,) + x.shape[2:])[:n], res
-        )
-        return flat
+
+        def unstack(x):
+            # Per-tile results: [tiles, ...] with the ray axis last for
+            # vectors ([tiles, 3, tile]) and direct for scalars.
+            if x.ndim == 3:
+                return x.transpose(1, 0, 2).reshape(x.shape[1], -1)[:, :n]
+            return x.reshape(-1)[:n]
+
+        return jax.tree_util.tree_map(unstack, res)
 
     return hit_tiled
 

@@ -13,6 +13,11 @@ SURVEY.md hard-part #3).  The loop runs ``max_depth`` free bounces plus
 ``rr_bounces`` Russian-roulette bounces; still-alive paths are then
 terminated as a miss.
 
+Data layout is component-first (ops/vec.py): positions/directions/colors are
+``[3, N]`` with the ray axis minor so every op is lane-dense on the VPU —
+the ``[N, 3]`` layout pads 3 -> 128 lanes and measured as ~80% of frame time
+in materialized intermediates.
+
 Scene geometry is abstracted behind a ``closest_hit(origins, dirs, t_min,
 t_max) -> Hit`` callable so spheres (this file) and BVH meshes
 (srt_tpu.models.mesh) share one integrator.  Everything is pure jnp and
@@ -33,24 +38,37 @@ from srt_tpu.camera import derive_viewport, generate_rays
 from srt_tpu.config import CameraConfig, RenderConfig
 from srt_tpu.ops import brdf
 from srt_tpu.ops import intersect
-from srt_tpu.ops.gather import take_small
-from srt_tpu.ops.safemath import safe_normalize
+from srt_tpu.ops import vec
+from srt_tpu.ops.gather import take_small_t
 from srt_tpu.ops.rng import ArrayStream, KeyStream
+from srt_tpu.ops.vec import bc
 from srt_tpu.scene import Lights, Materials, Spheres
 
 
 @chex.dataclass(frozen=True)
 class Hit:
-    """Per-ray hit record (reference ``HitRecord``, raytrace_types.glsl)."""
+    """Per-ray hit record (reference ``HitRecord``, raytrace_types.glsl).
+    Vectors are [3, N]; scalars [N]; mat fields are per-ray ([3, N]/[N])."""
 
     hit: jnp.ndarray      # [N] bool
     t: jnp.ndarray        # [N]
-    p: jnp.ndarray        # [N, 3]
-    normal: jnp.ndarray   # [N, 3] unit, facing the ray
-    mat: Materials        # per-ray gathered material
+    p: jnp.ndarray        # [3, N]
+    normal: jnp.ndarray   # [3, N] unit, facing the ray
+    mat: Materials        # per-ray gathered material (albedo [3, N], ...)
 
 
 HitFn = Callable[[jnp.ndarray, jnp.ndarray, float, jnp.ndarray], Hit]
+
+
+def _materials_t(mats: Materials, idx) -> Materials:
+    """Table materials -> per-ray component-first materials."""
+    return Materials(
+        albedo=take_small_t(mats.albedo, idx),
+        specular=take_small_t(mats.specular, idx),
+        roughness=take_small_t(mats.roughness[:, None], idx)[0],
+        metalness=take_small_t(mats.metalness[:, None], idx)[0],
+        use_spec=take_small_t(mats.use_spec[:, None], idx)[0],
+    )
 
 
 def spheres_hit_fn(spheres: Spheres) -> HitFn:
@@ -62,17 +80,17 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
             origins, dirs, spheres.center, spheres.radius, t_min, t_max
         )
         t_safe = jnp.where(hit, t, 1.0)
-        p = origins + t_safe[:, None] * dirs
+        p = origins + bc(t_safe) * dirs
         if any_hit:
             # Shadow-ray fast path: occlusion only, skip shading data.
             zeros = jnp.zeros_like(p)
             return Hit(hit=hit, t=t, p=p, normal=zeros,
-                       mat=spheres.materials.take(jnp.zeros_like(idx)))
-        normal, _front = intersect.sphere_normal(
-            p, take_small(spheres.center, idx), take_small(spheres.radius, idx),
-            dirs
-        )
-        return Hit(hit=hit, t=t, p=p, normal=normal, mat=spheres.materials.take(idx))
+                       mat=_materials_t(spheres.materials, jnp.zeros_like(idx)))
+        center = take_small_t(spheres.center, idx)
+        radius = take_small_t(spheres.radius[:, None], idx)[0]
+        normal, _front = intersect.sphere_normal(p, center, radius, dirs)
+        return Hit(hit=hit, t=t, p=p, normal=normal,
+                   mat=_materials_t(spheres.materials, idx))
 
     return closest_hit
 
@@ -96,9 +114,11 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
                 best = rec
                 continue
             closer = rec.hit & (~best.hit | (rec.t < best.t))
-            sel = lambda a, b, m=closer: jnp.where(
-                m.reshape(m.shape + (1,) * (a.ndim - m.ndim)), a, b
-            )
+
+            def sel(a, b, m=closer):
+                # Vectors are [3, N] (mask broadcasts on axis 0); scalars [N].
+                return jnp.where(m[None, :] if a.ndim > m.ndim else m, a, b)
+
             best = Hit(
                 hit=best.hit | rec.hit,
                 t=jnp.where(closer, rec.t, best.t),
@@ -117,30 +137,30 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     ``active`` masks dead lanes with t_max = 0 so compaction-aware
     intersectors (the Pallas kernel) skip them entirely."""
     delta = light_pos - p
-    dist2 = jnp.sum(delta * delta, axis=-1)
+    dist2 = vec.norm2(delta)
     dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
     if active is not None:
         dist = jnp.where(active, dist, 0.0)
-    direction = safe_normalize(delta)
+    direction = vec.normalize(delta)
     shadow = closest_hit(p, direction, t_min, dist, any_hit=True)
     return shadow.hit
 
 
 def _sky(dirs, cfg: RenderConfig):
     """Sky radiance: constant dark grey by default, or the RTiOW blue
-    gradient (both appear at raytrace_compute.glsl:219-220)."""
+    gradient (both appear at raytrace_compute.glsl:219-220).  [3, N]/[3, 1]."""
     if not cfg.sky_gradient:
-        return jnp.asarray(cfg.sky_color, jnp.float32)[None, :]
-    d = safe_normalize(dirs)
-    a = 0.5 * (d[:, 1] + 1.0)
-    white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
-    blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
-    return (1.0 - a)[:, None] * white + a[:, None] * blue
+        return jnp.asarray(cfg.sky_color, jnp.float32)[:, None]
+    d = vec.normalize(dirs)
+    a = 0.5 * (d[1] + 1.0)
+    white = vec.col([1.0, 1.0, 1.0])
+    blue = vec.col([0.5, 0.7, 1.0])
+    return bc(1.0 - a) * white + bc(a) * blue
 
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
                     stream, cfg: RenderConfig, return_stats: bool = False):
-    """Trace an ``[N]`` ray batch to radiance ``[N, 3]``.
+    """Trace an ``[3, N]`` ray batch to radiance ``[3, N]``.
 
     ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
     documented per-bounce order (ops/rng.py) so the numpy oracle can replay
@@ -152,14 +172,15 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     ``while(true)`` at raytrace_compute.glsl:224 has no such concern
     because GLSL compiles per-thread scalar code).
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
     num_lights = lights.count
     n_bounces = cfg.max_depth + cfg.rr_bounces
     d_slots = 2 * num_lights + 6
 
-    # [N, B*D] drawn in slot order -> [B, N, D] per-bounce blocks.
+    # [B*D, N] drawn in slot order -> [B, D, N] per-bounce blocks (the
+    # slot-major stream layout makes this reshape free).
     u_all = stream.take(n_bounces * d_slots)
-    u_bounce = u_all.reshape(n, n_bounces, d_slots).transpose(1, 0, 2)
+    u_bounce = u_all.reshape(n_bounces, d_slots, n)
 
     def bounce_body(carry, inputs):
         bounce, u = inputs
@@ -175,42 +196,42 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         # (raytrace_compute.glsl:287-292).
         missed = alive & ~rec.hit
         color = color + jnp.where(
-            missed[:, None], throughput * _sky(dirs, cfg), 0.0
+            bc(missed), throughput * _sky(dirs, cfg), 0.0
         )
 
-        view = safe_normalize(-dirs)
+        view = vec.normalize(-dirs)
 
         # --- RIS light sampling + direct lighting (glsl:228-246) ---
-        u_idx = u[:, 0:num_lights]
-        u_sel = u[:, num_lights:2 * num_lights]
+        u_idx = u[0:num_lights]
+        u_sel = u[num_lights:2 * num_lights]
         sampled, light_idx, light_w = brdf.sample_lights_ris(
             rec.p, lights, u_idx, u_sel
         )
-        l_pos = take_small(lights.position, light_idx)
-        l_col = take_small(lights.color, light_idx)
-        l_int = take_small(lights.intensity, light_idx)
+        l_pos = take_small_t(lights.position, light_idx)
+        l_col = take_small_t(lights.color, light_idx)
+        l_int = take_small_t(lights.intensity[:, None], light_idx)[0]
 
         occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
         shadow_mult = jnp.where(occ, 0.0, 1.0)
 
         direct_spec = brdf.sample_direct(
             rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
-        ) * light_w[:, None]
+        ) * bc(light_w)
 
         l_dir = brdf.light_dir_to(rec.p, l_pos)
         falloff = brdf.light_falloff(rec.p, l_pos)
-        light_term = l_col * (falloff * l_int * light_w)[:, None]
+        light_term = l_col * bc(falloff * l_int * light_w)
         direct_diff = (
             brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
-            * shadow_mult[:, None] * light_term
+            * bc(shadow_mult) * light_term
         )
 
-        direct = jnp.where(rec.mat.use_spec[:, None], direct_spec, direct_diff)
+        direct = jnp.where(bc(rec.mat.use_spec), direct_spec, direct_diff)
         add = active & sampled
-        color = color + jnp.where(add[:, None], throughput * direct, 0.0)
+        color = color + jnp.where(bc(add), throughput * direct, 0.0)
 
         # --- BRDF lobe selection (glsl:248-264) ---
-        u_lobe = u[:, 2 * num_lights]
+        u_lobe = u[2 * num_lights]
         forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
         prob = brdf.brdf_probability(rec.mat, view, rec.normal)
         chose_spec = u_lobe < prob
@@ -221,42 +242,42 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             jnp.where(chose_spec, 1.0 / prob, 1.0 / (1.0 - prob)),
         )
         throughput = jnp.where(
-            active[:, None], throughput * lobe_scale[:, None], throughput
+            bc(active), throughput * bc(lobe_scale), throughput
         )
 
         # --- Russian roulette (glsl:266-274), active once bounce passes
         # max_depth (dynamic within the scan) ---
-        u_rr = u[:, 2 * num_lights + 1]
+        u_rr = u[2 * num_lights + 1]
         in_rr = bounce >= cfg.max_depth
         survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
         died = active & in_rr & (u_rr > survival)
         if cfg.sky_always:
             # Reference adds sky * throughput on *every* exit (glsl:292).
             color = color + jnp.where(
-                died[:, None], throughput * _sky(dirs, cfg), 0.0
+                bc(died), throughput * _sky(dirs, cfg), 0.0
             )
         survived = active & ~died
         throughput = jnp.where(
-            (survived & in_rr)[:, None], throughput / survival[:, None],
+            bc(survived & in_rr), throughput / bc(survival),
             throughput,
         )
         active = survived
 
         # --- Indirect bounce (glsl:276-285) ---
-        u4 = u[:, 2 * num_lights + 2:2 * num_lights + 6]
+        u4 = u[2 * num_lights + 2:2 * num_lights + 6]
         new_dir, weight, valid = brdf.sample_indirect(
             rec.p, rec.normal, view, rec.mat, take_spec,
-            u4[:, 0], u4[:, 1], u4[:, 2], u4[:, 3],
+            u4[0], u4[1], u4[2], u4[3],
         )
         invalid = active & ~valid
         if cfg.sky_always:
             color = color + jnp.where(
-                invalid[:, None], throughput * _sky(dirs, cfg), 0.0
+                bc(invalid), throughput * _sky(dirs, cfg), 0.0
             )
         cont = active & valid
-        throughput = jnp.where(cont[:, None], throughput * weight, throughput)
-        origins = jnp.where(cont[:, None], rec.p, origins)
-        dirs = jnp.where(cont[:, None], new_dir, dirs)
+        throughput = jnp.where(bc(cont), throughput * weight, throughput)
+        origins = jnp.where(bc(cont), rec.p, origins)
+        dirs = jnp.where(bc(cont), new_dir, dirs)
         # Per-bounce ray accounting: closest-hit rays entering the bounce +
         # shadow rays for paths that found a hit (for Mrays/s metrics).
         stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
@@ -265,8 +286,8 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     init = (
         origins,
         dirs,
-        jnp.ones((n, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((3, n), jnp.float32),
+        jnp.zeros((3, n), jnp.float32),
         jnp.ones((n,), bool),
     )
     (origins, dirs, throughput, color, alive), stats = jax.lax.scan(
@@ -274,7 +295,7 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     )
 
     # Paths that survive the static loop are truncated as a miss.
-    color = color + jnp.where(alive[:, None], throughput * _sky(dirs, cfg), 0.0)
+    color = color + jnp.where(bc(alive), throughput * _sky(dirs, cfg), 0.0)
     if return_stats:
         return color, stats  # stats: [B, 2] = (trace rays, shadow rays)
     return color
@@ -292,7 +313,7 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
     defocus = stream.take(2) if cam.defocus_angle > 0 else None
     origins, dirs = generate_rays(vp, cam.width, cam.height, jitter, defocus)
     radiance = trace_wavefront(closest_hit, lights, origins, dirs, stream, cfg)
-    return radiance.reshape(cam.height, cam.width, 3)
+    return radiance.T.reshape(cam.height, cam.width, 3)
 
 
 def render(closest_hit: HitFn, lights: Lights, cam: CameraConfig,

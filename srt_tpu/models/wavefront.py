@@ -29,7 +29,7 @@ def intersect_rays(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
     if t_max is None:
         t_max = jnp.full((n,), jnp.inf)
     rec = mesh_hit_fn(scene, method=method)(
-        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        jnp.asarray(origins, jnp.float32).T, jnp.asarray(dirs, jnp.float32).T,
         t_min, t_max, any_hit=False,
     )
     # Recover the global triangle index from the Hit record's material
@@ -45,16 +45,18 @@ def hit_ids(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
     from srt_tpu.models import mesh as mesh_mod
 
     n = origins.shape[0]
+    o_t = jnp.asarray(origins, jnp.float32).T
+    d_t = jnp.asarray(dirs, jnp.float32).T
     best_t = jnp.full((n,), jnp.inf)
     best_i = jnp.full((n,), jnp.int32(-1))
     for b in range(scene.num_models):
         if method == "pallas":
             from srt_tpu.ops.traversal_pallas import pallas_model_hit
-            t, i, _, _ = pallas_model_hit(scene, b, origins, dirs, best_t)
+            t, i, _, _ = pallas_model_hit(scene, b, o_t, d_t, best_t)
         elif method == "bvh":
-            t, i, _, _ = mesh_mod._bvh_model_hit(scene, b, origins, dirs, best_t)
+            t, i, _, _ = mesh_mod._bvh_model_hit(scene, b, o_t, d_t, best_t)
         else:
-            t, i, _, _ = mesh_mod._dense_model_hit(scene, b, origins, dirs, best_t)
+            t, i, _, _ = mesh_mod._dense_model_hit(scene, b, o_t, d_t, best_t)
         better = (i != -1) & (t < best_t) & (t > t_min)
         best_t = jnp.where(better, t, best_t)
         best_i = jnp.where(better, i, best_i)

@@ -4,9 +4,9 @@ TPU-native rewrite of shaders/brdf.glsl + the shading helpers in
 shaders/raytrace_utils.glsl: Cook-Torrance GGX with Smith height-correlated
 masking, Schlick Fresnel, cosine-weighted diffuse + GGX half-vector sampling,
 RIS (resampled importance sampling) over point lights, and the lobe-selection
-probability.  Every function maps ``[N, ...]`` arrays -> ``[N, ...]`` arrays
-and is differentiable w.r.t. material parameters, geometry and light
-parameters.
+probability.  Vectors are component-first ``[3, N]`` and per-ray scalars are
+``[N]`` (the wavefront layout, ops/vec.py); everything is differentiable
+w.r.t. material parameters, geometry and light parameters.
 
 Reference quirks deliberately fixed (see SURVEY.md "quirks" list):
 * ``EvalSpecular`` passed ``(alphaSquared, NdotH)`` into the NDF with swapped
@@ -27,15 +27,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from srt_tpu.ops.safemath import safe_normalize, safe_sqrt
+from srt_tpu.ops import vec
+from srt_tpu.ops.safemath import safe_sqrt
+from srt_tpu.ops.vec import bc, dot
 from srt_tpu.scene import Lights, Materials
 
 PI = 3.14159265358979323846
 MIN_DIELECTRIC_F0 = 0.04
-
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
 
 
 def saturate(x):
@@ -43,14 +41,14 @@ def saturate(x):
 
 
 def luminance(rgb):
-    """BT.709 relative luminance (raytrace_utils.glsl:107-109)."""
-    w = jnp.asarray([0.2126, 0.7152, 0.0722], rgb.dtype)
-    return _dot(rgb, w)
+    """BT.709 relative luminance (raytrace_utils.glsl:107-109).
+    rgb: [3, N] -> [N]."""
+    return 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
 
 
 def specular_f0(base_color, metalness):
     """Metalness mix of dielectric F0 (raytrace_utils.glsl:111-113)."""
-    m = metalness[..., None]
+    m = bc(metalness)
     return (1.0 - m) * MIN_DIELECTRIC_F0 + m * base_color
 
 
@@ -60,8 +58,8 @@ def shadowed_f90(f0):
 
 
 def fresnel_schlick(f0, f90, n_dot_s):
-    """``FresnelSchlickNew`` (brdf.glsl:39-41). f90 is [...] scalar-per-ray."""
-    return f0 + (f90[..., None] - f0) * jnp.power(1.0 - n_dot_s[..., None], 5.0)
+    """``FresnelSchlickNew`` (brdf.glsl:39-41). f0 [3, N]; f90/n_dot_s [N]."""
+    return f0 + (bc(f90) - f0) * jnp.power(1.0 - bc(n_dot_s), 5.0)
 
 
 def ggx_ndf(n_dot_h, alpha_squared):
@@ -108,8 +106,8 @@ def ggx_ndf_legacy(n_dot_h, roughness):
 
 
 def schlick_fresnel_legacy(f0, u):
-    """Legacy Schlick (brdf.glsl:34-36)."""
-    return f0 + (1.0 - f0) * jnp.power(jnp.maximum(0.001, 1.0 - u[..., None]), 5.0)
+    """Legacy Schlick (brdf.glsl:34-36). f0 [3, N]; u [N]."""
+    return f0 + (1.0 - f0) * jnp.power(jnp.maximum(0.001, 1.0 - bc(u)), 5.0)
 
 
 def probability_to_sample_diffuse(diff_brdf, spec_brdf):
@@ -121,33 +119,34 @@ def probability_to_sample_diffuse(diff_brdf, spec_brdf):
 
 
 def perpendicular_vector(u):
-    """Branchless perpendicular basis vector (raytrace_utils.glsl:123-129)."""
+    """Branchless perpendicular basis vector (raytrace_utils.glsl:123-129).
+    u: [3, N]."""
     a = jnp.abs(u)
-    xm = ((a[..., 0] - a[..., 1]) < 0) & ((a[..., 0] - a[..., 2]) < 0)
-    xm = xm.astype(jnp.int32)
-    ym = jnp.where((a[..., 1] - a[..., 2]) < 0, 1 ^ xm, 0)
-    zm = 1 ^ (xm | ym)
-    axis = jnp.stack([xm, ym, zm], axis=-1).astype(u.dtype)
-    return jnp.cross(u, axis)
+    xm = ((a[0] - a[1]) < 0) & ((a[0] - a[2]) < 0)
+    xm = xm.astype(u.dtype)
+    ym = jnp.where((a[1] - a[2]) < 0, 1.0 - xm, 0.0)
+    zm = (1.0 - xm) * (1.0 - ym)
+    axis = jnp.stack([xm, ym, zm])
+    return vec.cross(u, axis)
 
 
 def reflect(incident, normal):
     """GLSL ``reflect``: I - 2*dot(N, I)*N."""
-    return incident - 2.0 * _dot(normal, incident)[..., None] * normal
+    return incident - 2.0 * bc(dot(normal, incident)) * normal
 
 
 def sample_diffuse(normal, r1, r2):
     """Cosine-weighted hemisphere sample around ``normal``
     (``SampleDiffuse``, brdf.glsl:60-74). r1/r2: [N] uniforms."""
     bitangent = perpendicular_vector(normal)
-    tangent = jnp.cross(bitangent, normal)
+    tangent = vec.cross(bitangent, normal)
     # safe_sqrt: r1 of exactly 0/1 would otherwise give inf derivatives.
     r = safe_sqrt(jnp.abs(r1))
     phi = 2.0 * PI * r2
     return (
-        tangent * (r * jnp.cos(phi))[..., None]
-        + bitangent * (r * jnp.sin(phi))[..., None]
-        + normal * safe_sqrt(jnp.abs(1.0 - r1))[..., None]
+        tangent * bc(r * jnp.cos(phi))
+        + bitangent * bc(r * jnp.sin(phi))
+        + normal * bc(safe_sqrt(jnp.abs(1.0 - r1)))
     )
 
 
@@ -155,7 +154,7 @@ def sample_ggx_half_vector(normal, roughness, r1, r2):
     """GGX NDF half-vector sample (``SampleSpecularHalfVec``,
     brdf.glsl:81-99).  Note the reference uses a2 = roughness^2 here."""
     b = perpendicular_vector(normal)
-    t = jnp.cross(b, normal)
+    t = vec.cross(b, normal)
     a2 = roughness * roughness
     # safe_sqrt throughout: as roughness -> 0, cos_th rounds to exactly 1
     # in fp32 and the plain sqrt's infinite derivative at 0 NaNs roughness
@@ -164,9 +163,9 @@ def sample_ggx_half_vector(normal, roughness, r1, r2):
     sin_th = safe_sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
     phi = r2 * 2.0 * PI
     return (
-        t * (sin_th * jnp.cos(phi))[..., None]
-        + b * (sin_th * jnp.sin(phi))[..., None]
-        + normal * cos_th[..., None]
+        t * bc(sin_th * jnp.cos(phi))
+        + b * bc(sin_th * jnp.sin(phi))
+        + normal * bc(cos_th)
     )
 
 
@@ -196,12 +195,12 @@ class BrdfData(NamedTuple):
 
 def brdf_data(normal, light_dir, view_dir, mat: Materials) -> BrdfData:
     """Vectorized ``GetAllBRDFValues`` (brdf.glsl:173-198)."""
-    h = safe_normalize(light_dir + view_dir)
-    n_dot_l = saturate(_dot(normal, light_dir))
-    n_dot_v = saturate(_dot(normal, view_dir))
-    l_dot_h = saturate(_dot(light_dir, h))
-    n_dot_h = saturate(_dot(normal, h))
-    v_dot_h = saturate(_dot(view_dir, h))
+    h = vec.normalize(light_dir + view_dir)
+    n_dot_l = saturate(dot(normal, light_dir))
+    n_dot_v = saturate(dot(normal, view_dir))
+    l_dot_h = saturate(dot(light_dir, h))
+    n_dot_h = saturate(dot(normal, h))
+    v_dot_h = saturate(dot(view_dir, h))
     f0 = specular_f0(mat.albedo, mat.metalness)
     alpha = mat.roughness * mat.roughness
     return BrdfData(
@@ -211,7 +210,7 @@ def brdf_data(normal, light_dir, view_dir, mat: Materials) -> BrdfData:
         n_dot_h=n_dot_h,
         v_dot_h=v_dot_h,
         specular_f0=f0,
-        diffuse_reflectance=mat.albedo * (1.0 - mat.metalness[..., None]),
+        diffuse_reflectance=mat.albedo * bc(1.0 - mat.metalness),
         roughness=mat.roughness,
         alpha=alpha,
         alpha_squared=alpha * alpha,
@@ -221,7 +220,7 @@ def brdf_data(normal, light_dir, view_dir, mat: Materials) -> BrdfData:
 
 def eval_diffuse(data: BrdfData):
     """``EvalDiffuse`` (brdf.glsl:134-137)."""
-    return data.diffuse_reflectance * (data.n_dot_l / PI)[..., None]
+    return data.diffuse_reflectance * bc(data.n_dot_l / PI)
 
 
 def eval_specular(data: BrdfData):
@@ -230,19 +229,20 @@ def eval_specular(data: BrdfData):
     g = smith_g2_height_correlated(data.alpha, data.n_dot_l, data.n_dot_v)
     denom = 4.0 * jnp.maximum(data.n_dot_l, 0.001) * jnp.maximum(data.n_dot_v, 0.001)
     scale = g * d / jnp.maximum(denom, 0.001) * data.n_dot_l
-    return data.fresnel * scale[..., None]
+    return data.fresnel * bc(scale)
 
 
 def light_falloff(p, light_pos):
     """Inverse-square falloff with near-field clamp
-    (``GetLightFalloff``, brdf.glsl:147-152)."""
+    (``GetLightFalloff``, brdf.glsl:147-152). p [3, N]; light_pos [3, N] or
+    [3, 1]."""
     d = light_pos - p
-    return 1.0 / (0.01 * 0.01 + _dot(d, d))
+    return 1.0 / (0.01 * 0.01 + dot(d, d))
 
 
 def light_dir_to(p, light_pos):
     """``getLightData`` (brdf.glsl:2-5): unit vector to the light."""
-    return safe_normalize(light_pos - p)
+    return vec.normalize(light_pos - p)
 
 
 def sample_direct(p, normal, view_dir, mat: Materials, light_pos, light_color,
@@ -251,19 +251,19 @@ def sample_direct(p, normal, view_dir, mat: Materials, light_pos, light_color,
     (``SampleDirect``, brdf.glsl:200-224): Cook-Torrance with the legacy
     NDF/masking/Fresnel and NdotL cancelled against the sampling PDF."""
     l_dir = light_dir_to(p, light_pos)
-    h = safe_normalize(view_dir + l_dir)
-    n_dot_l = saturate(_dot(normal, l_dir))
-    n_dot_h = saturate(_dot(normal, h))
-    l_dot_h = saturate(_dot(l_dir, h))
-    n_dot_v = saturate(_dot(normal, view_dir))
+    h = vec.normalize(view_dir + l_dir)
+    n_dot_l = saturate(dot(normal, l_dir))
+    n_dot_h = saturate(dot(normal, h))
+    l_dot_h = saturate(dot(l_dir, h))
+    n_dot_v = saturate(dot(normal, view_dir))
     d = ggx_ndf_legacy(n_dot_h, mat.roughness)
     g = ggx_schlick_masking(n_dot_l, n_dot_v, mat.roughness)
     f = schlick_fresnel_legacy(mat.specular, l_dot_h)
     falloff = light_falloff(p, light_pos)
     intensity = light_intensity * falloff
-    ggx_term = f * (d * g / (4.0 * jnp.maximum(0.001, n_dot_v)))[..., None]
-    light_term = shadow_mult[..., None] * light_color * intensity[..., None]
-    return light_term * (ggx_term + n_dot_l[..., None] * mat.albedo / PI)
+    ggx_term = f * bc(d * g / (4.0 * jnp.maximum(0.001, n_dot_v)))
+    light_term = bc(shadow_mult) * light_color * bc(intensity)
+    return light_term * (ggx_term + bc(n_dot_l) * mat.albedo / PI)
 
 
 def sample_direct_new(normal, light_dir, view_dir, mat: Materials):
@@ -279,12 +279,12 @@ def brdf_probability(mat: Materials, view_dir, normal):
     """Specular-lobe selection probability (``GetBrdfProbability``,
     brdf.glsl:279-288), clamped to [0.1, 0.9]."""
     spec_f0_lum = luminance(specular_f0(mat.albedo, mat.metalness))
-    diff_lum = luminance(mat.albedo * (1.0 - mat.metalness[..., None]))
-    f0 = spec_f0_lum[..., None] * jnp.ones((1, 3), dtype=spec_f0_lum.dtype)
+    diff_lum = luminance(mat.albedo * bc(1.0 - mat.metalness))
+    f0 = jnp.broadcast_to(bc(spec_f0_lum), (3,) + spec_f0_lum.shape)
     fres = saturate(
         luminance(
             fresnel_schlick(
-                f0, shadowed_f90(f0), jnp.maximum(0.0, _dot(view_dir, normal))
+                f0, shadowed_f90(f0), jnp.maximum(0.0, dot(view_dir, normal))
             )
         )
     )
@@ -297,18 +297,18 @@ def brdf_probability(mat: Materials, view_dir, normal):
 def sample_specular_microfacet(p, normal, view_dir, mat: Materials, f0,
                                alpha, alpha_squared, h_r1, h_r2):
     """GGX importance sample + weight (``SampleSpecularMicrofacet``,
-    brdf.glsl:102-132).  Returns (direction [N,3], weight [N,3])."""
+    brdf.glsl:102-132).  Returns (direction [3, N], weight [3, N])."""
     # Perfect-mirror fast path when alpha == 0 (brdf.glsl:106-110).
     l_perfect = reflect(-view_dir, normal)
-    h_perfect = safe_normalize(-view_dir + l_perfect, fallback=normal)
+    h_perfect = vec.normalize(-view_dir + l_perfect, fallback=normal)
     h_sampled = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
-    h = jnp.where((alpha == 0.0)[..., None], h_perfect, h_sampled)
+    h = jnp.where(bc(alpha == 0.0), h_perfect, h_sampled)
 
     l_dir = reflect(-view_dir, h)
-    h_dot_l = jnp.clip(_dot(h, l_dir), 1e-5, 1.0)
-    n_dot_l = jnp.clip(_dot(normal, l_dir), 1e-5, 1.0)
+    h_dot_l = jnp.clip(dot(h, l_dir), 1e-5, 1.0)
+    n_dot_l = jnp.clip(dot(normal, l_dir), 1e-5, 1.0)
     f = fresnel_schlick(f0, shadowed_f90(f0), h_dot_l)
-    weight = f * specular_sample_weight(alpha_squared, n_dot_l)[..., None]
+    weight = f * bc(specular_sample_weight(alpha_squared, n_dot_l))
     return l_dir, weight
 
 
@@ -318,17 +318,17 @@ def sample_indirect(p, normal, view_dir, mat: Materials, take_specular,
     brdf.glsl:239-277).
 
     ``take_specular``: [N] bool lobe choice (made by the caller from
-    ``brdf_probability``).  Returns (direction [N,3], weight [N,3],
+    ``brdf_probability``).  Returns (direction [3, N], weight [3, N],
     valid [N]).  Invalid when the view is below the surface, the weight is
     black, or the sampled direction is below the surface.
     """
-    above = _dot(normal, view_dir) > 0.0
+    above = dot(normal, view_dir) > 0.0
 
     # Diffuse branch (brdf.glsl:248-260).
     diff_dir = sample_diffuse(normal, diff_r1, diff_r2)
     data = brdf_data(normal, diff_dir, view_dir, mat)
     h = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
-    v_dot_h = jnp.clip(_dot(view_dir, h), 1e-5, 1.0)
+    v_dot_h = jnp.clip(dot(view_dir, h), 1e-5, 1.0)
     diff_weight = data.diffuse_reflectance * (
         1.0 - fresnel_schlick(data.specular_f0, shadowed_f90(data.specular_f0), v_dot_h)
     )
@@ -339,14 +339,14 @@ def sample_indirect(p, normal, view_dir, mat: Materials, take_specular,
         data.alpha_squared, h_r1, h_r2,
     )
 
-    raw_dir = jnp.where(take_specular[..., None], spec_dir, diff_dir)
-    weight = jnp.where(take_specular[..., None], spec_weight, diff_weight)
+    raw_dir = jnp.where(bc(take_specular), spec_dir, diff_dir)
+    weight = jnp.where(bc(take_specular), spec_weight, diff_weight)
 
-    direction = safe_normalize(raw_dir)
+    direction = vec.normalize(raw_dir)
     valid = (
         above
         & (luminance(weight) != 0.0)
-        & (_dot(normal, direction) > 0.0)
+        & (dot(normal, direction) > 0.0)
     )
     return direction, weight, valid
 
@@ -355,14 +355,14 @@ def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
     """Resampled importance sampling over point lights (``SampleLights``,
     raytrace_compute.glsl:179-206).
 
-    p: [N, 3] shading points; u_idx/u_sel: [N, L] uniforms.
+    p: [3, N] shading points; u_idx/u_sel: [L, N] uniforms.
     Runs L reservoir iterations: random light index per iteration,
     RIS weight = luminance(intensity * falloff) * L, streaming selection.
     Returns (selected [N] bool, light_idx [N] int32, weight [N]).
     The off-by-one ``round(u * L)`` indexing bug is fixed with
     floor + clamp.
     """
-    n = p.shape[0]
+    n = p.shape[1]
     num_lights = lights.count
     total = jnp.zeros((n,), p.dtype)
     sel_idx = jnp.zeros((n,), jnp.int32)
@@ -374,7 +374,7 @@ def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
     # see ops/gather.py).  The reservoir loop then selects by index with
     # cheap where-chains.
     pdf_k = [
-        lights.intensity[k] * light_falloff(p, lights.position[k])
+        lights.intensity[k] * light_falloff(p, vec.col(lights.position[k]))
         for k in range(num_lights)
     ]
 
@@ -386,13 +386,13 @@ def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
 
     for i in range(num_lights):
         cand = jnp.clip(
-            jnp.floor(u_idx[:, i] * num_lights).astype(jnp.int32), 0, num_lights - 1
+            jnp.floor(u_idx[i] * num_lights).astype(jnp.int32), 0, num_lights - 1
         )
         # luminance of a grey vec3(intensity) is just intensity
         light_pdf = pdf_at(cand)
         ris_w = light_pdf * num_lights
         total = total + ris_w
-        accept = u_sel[:, i] < jnp.where(total > 0.0, ris_w / jnp.where(total > 0.0, total, 1.0), 0.0)
+        accept = u_sel[i] < jnp.where(total > 0.0, ris_w / jnp.where(total > 0.0, total, 1.0), 0.0)
         sel_idx = jnp.where(accept, cand, sel_idx)
         sel_pdf = jnp.where(accept, light_pdf, sel_pdf)
         selected = selected | accept

@@ -35,3 +35,20 @@ def take_small(table: jnp.ndarray, idx: jnp.ndarray,
         mask = (idx == i).reshape(idx.shape + (1,) * (table.ndim - 1))
         out = jnp.where(mask, table[i], out)
     return out
+
+
+def take_small_t(table: jnp.ndarray, idx: jnp.ndarray,
+                 limit: int = SELECT_LIMIT) -> jnp.ndarray:
+    """Component-first gather: table [K, C], idx [N] -> [C, N].
+
+    The wavefront layout keeps per-ray vectors as [C, N] (rays on the lane
+    axis); this gathers straight into that layout so no padded [N, C]
+    intermediate is ever materialized.
+    """
+    k = table.shape[0]
+    if k > limit:
+        return table[idx].T
+    out = jnp.broadcast_to(table[0][:, None], (table.shape[1], idx.shape[0]))
+    for i in range(1, k):
+        out = jnp.where(idx[None, :] == i, table[i][:, None], out)
+    return out

@@ -29,17 +29,19 @@ def _dot(a, b):
 def sphere_hit(origins, dirs, centers, radii, t_min, t_max):
     """Closest sphere hit per ray.
 
-    origins/dirs: [N, 3]; centers: [S, 3]; radii: [S].
+    origins/dirs: [3, N] (component-first wavefront layout, ops/vec.py);
+    centers: [S, 3]; radii: [S].
     Returns (hit [N] bool, t [N], idx [N] int32).  Mirrors the quadric form
     of ``SphereHit`` + the closest-hit loop in ``CheckHit``
     (raytrace_compute.glsl:93-141): the near root is taken if inside
     (t_min, t_max), else the far root.
     """
-    oc = centers[None, :, :] - origins[:, None, :]          # [N, S, 3]
-    a = _dot(dirs, dirs)[:, None]                            # [N, 1]
-    h = jnp.einsum("nd,nsd->ns", dirs, oc)                   # [N, S]
-    c = _dot(oc, oc) - (radii * radii)[None, :]              # [N, S]
-    t_max = jnp.broadcast_to(jnp.asarray(t_max)[..., None], h.shape)
+    ct = centers.T                                           # [3, S]
+    oc = ct[:, :, None] - origins[:, None, :]                # [3, S, N]
+    a = jnp.sum(dirs * dirs, axis=0)[None, :]                # [1, N]
+    h = jnp.sum(dirs[:, None, :] * oc, axis=0)               # [S, N]
+    c = jnp.sum(oc * oc, axis=0) - (radii * radii)[:, None]  # [S, N]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max)[None], h.shape)
     disc = h * h - a * c
     valid = disc >= 0.0
     # Double-where so the masked-out sqrt sees a positive argument: the
@@ -53,18 +55,19 @@ def sphere_hit(origins, dirs, centers, radii, t_min, t_max):
     far_ok = (t_min < root_far) & (root_far < t_max)
     root = jnp.where(near_ok, root_near, root_far)
     valid = valid & (near_ok | far_ok)
-    t_all = jnp.where(valid, root, INF)                      # [N, S]
-    idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)        # [N]
-    t = jnp.min(t_all, axis=1)
+    t_all = jnp.where(valid, root, INF)                      # [S, N]
+    idx = jnp.argmin(t_all, axis=0).astype(jnp.int32)        # [N]
+    t = jnp.min(t_all, axis=0)
     return jnp.isfinite(t), t, idx
 
 
 def sphere_normal(p, center, radius, dirs):
     """Outward normal flipped to face the ray (``SetFaceNormal``,
-    raytrace_utils.glsl:23-26).  Returns (normal [N,3], front_face [N])."""
-    outward = (p - center) / radius[:, None]
-    front = _dot(dirs, outward) < 0.0
-    return jnp.where(front[:, None], outward, -outward), front
+    raytrace_utils.glsl:23-26).  p/center/dirs [3, N]; radius [N].
+    Returns (normal [3, N], front_face [N])."""
+    outward = (p - center) / radius[None, :]
+    front = jnp.sum(dirs * outward, axis=0) < 0.0
+    return jnp.where(front[None, :], outward, -outward), front
 
 
 def ray_aabb(origins, dirs, bmin, bmax):

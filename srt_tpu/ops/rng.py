@@ -14,6 +14,9 @@ Two interchangeable stream implementations feed the renderer:
   (testing: the numpy oracle consumes the *same* array in the same slot
   order, making renderer-vs-oracle comparisons exact).
 
+Streams yield ``[k, N]`` blocks (slot-major): the wavefront layout keeps the
+ray axis minor so each slot row is lane-dense on the VPU (see ops/vec.py).
+
 The slot protocol per path-tracing bounce (see models/pathtracer.py):
 ``[ris_idx x L | ris_sel x L | lobe | rr | diff_r1 | diff_r2 | h_r1 | h_r2]``
 so a bounce consumes ``2*L + 6`` slots; pixel jitter (2 slots) is drawn
@@ -46,14 +49,15 @@ class KeyStream:
         self._counter = 0
 
     def take(self, k: int) -> jnp.ndarray:
-        """Draw [n_rays, k] uniforms in [0, 1)."""
+        """Draw [k, n_rays] uniforms in [0, 1)."""
         sub = jax.random.fold_in(self._key, self._counter)
         self._counter += 1
-        return jax.random.uniform(sub, (self._n, k), dtype=jnp.float32)
+        return jax.random.uniform(sub, (k, self._n), dtype=jnp.float32)
 
 
 class ArrayStream:
-    """Slices a precomputed [N, D] uniform array by static offsets."""
+    """Slices a precomputed [N, D] uniform array by static offsets,
+    yielding slot-major [k, N] blocks."""
 
     def __init__(self, uniforms):
         self._u = uniforms
@@ -67,7 +71,7 @@ class ArrayStream:
                 f"uniform array exhausted: need {k} slots at offset {self._off - k}, "
                 f"have {self._u.shape[1]}"
             )
-        return u
+        return u.T
 
 
 def host_uniforms(seed: int, n_rays: int, n_slots: int) -> np.ndarray:

@@ -314,20 +314,22 @@ def _launch_occupancy(rays, bounds, tile: int, interpret: bool):
 
 def _exact_refine(scene, idx, origins, dirs):
     """Exact single-triangle Moller-Trumbore for the kernel's winners so
-    t/u/v precision matches the dense path."""
+    t/u/v precision matches the dense path.  origins/dirs [3, N]."""
+    from srt_tpu.ops import vec
+
     i = jnp.maximum(idx, 0)
-    v0 = scene.tri_v0[i]
-    e1 = scene.tri_v1[i] - v0
-    e2 = scene.tri_v2[i] - v0
-    h = jnp.cross(dirs, e2)
-    a = jnp.sum(e1 * h, axis=-1)
+    v0 = scene.tri_v0[i].T                                  # [3, N]
+    e1 = scene.tri_v1[i].T - v0
+    e2 = scene.tri_v2[i].T - v0
+    h = vec.cross(dirs, e2)
+    a = jnp.sum(e1 * h, axis=0)
     parallel = jnp.abs(a) < intersect.MT_PARALLEL_EPS
     f = 1.0 / jnp.where(parallel, 1.0, a)
     s = origins - v0
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = f * jnp.sum(dirs * q, axis=-1)
-    t = f * jnp.sum(e2 * q, axis=-1)
+    u = f * jnp.sum(s * h, axis=0)
+    q = vec.cross(s, e1)
+    v = f * jnp.sum(dirs * q, axis=0)
+    t = f * jnp.sum(e2 * q, axis=0)
     return t, u, v
 
 
@@ -335,7 +337,8 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                      tile: int = DEFAULT_TILE, any_hit: bool = False,
                      refine: bool = True):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
-    strategies in models/mesh.py.  Returns (t [N], tri_idx [N], u, v).
+    strategies in models/mesh.py.  origins/dirs are [3, N] (component-first
+    wavefront layout, ops/vec.py).  Returns (t [N], tri_idx [N], u, v).
 
     ``any_hit=True`` is the shadow-ray fast path: skips the exact (t,u,v)
     refinement (only the hit/miss answer and the kernel's candidate t are
@@ -357,23 +360,23 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     n_clusters = count // CLUSTER
 
     o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
-    n = origins.shape[0]
+    n = origins.shape[1]
     pad = (-n) % (tile * 8)  # n_tiles must be a multiple of the SMEM window
     npad = n + pad
 
     def padded(x, fill=0.0):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),),
                        constant_values=fill)
 
     o_p = padded(o_m)
     d_p = padded(d_m, 1.0)
-    t_p = padded(jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,))
-                 .reshape(n, 1), 0.0).reshape(npad)
+    t_p = padded(jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,)), 0.0)
 
+    # Assembled component-first ([8, Np], lane-dense) then transposed once
+    # into the kernel's [Np, 8] operand layout.
     rays8 = jnp.concatenate(
-        [o_p, d_p, t_p.reshape(npad, 1), jnp.zeros((npad, 1), jnp.float32)],
-        axis=1,
-    )
+        [o_p, d_p, t_p[None, :], jnp.zeros((1, npad), jnp.float32)], axis=0
+    ).T
     woop_slice = scene.woop[c_lo:c_lo + n_clusters]
 
     # Cluster occupancy per tile (Pallas; see _occupancy_kernel), then a

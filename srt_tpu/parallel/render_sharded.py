@@ -50,8 +50,11 @@ def trace_sharded(make_hit_fn: Callable, scene, lights: Lights,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS)),
-        out_specs=P(RAYS_AXIS),
+        # Rays shard on their (minor) wavefront axis: origins/dirs/radiance
+        # are [3, N] (ops/vec.py), uniforms [N, D].
+        in_specs=(P(), P(), P(None, RAYS_AXIS), P(None, RAYS_AXIS),
+                  P(RAYS_AXIS)),
+        out_specs=P(None, RAYS_AXIS),
         check_vma=False,
     )
     def shard_body(scene_, lights_, o, d, u):
@@ -77,16 +80,17 @@ def render_sharded(make_hit_fn: Callable, scene, lights: Lights,
         k = jax.random.fold_in(key, s)
         uniforms = _draw_uniforms(k, n, lights.count, n_bounces)
         vp = derive_viewport(cam)
-        origins, dirs = generate_rays(vp, cam.width, cam.height, uniforms[:, 0:2])
+        origins, dirs = generate_rays(vp, cam.width, cam.height,
+                                      uniforms[:, 0:2].T)
         radiance = trace_sharded(
             make_hit_fn, scene, lights, origins, dirs, uniforms, cfg, mesh
         )
         return radiance
 
-    acc = jnp.zeros((n, 3), jnp.float32)
+    acc = jnp.zeros((3, n), jnp.float32)
     for s in range(cfg.spp):
         acc = acc + one_sample(s)
-    return (acc / cfg.spp).reshape(cam.height, cam.width, 3)
+    return (acc / cfg.spp).T.reshape(cam.height, cam.width, 3)
 
 
 def sharded_loss_and_grad(make_hit_fn: Callable, lights: Lights,

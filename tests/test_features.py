@@ -102,12 +102,12 @@ def test_textured_mesh_renders(tmp_path):
     scene = mesh_mod.upload(flat, atlas=atlas.image, atlas_rects=atlas.rects)
 
     # Direct hit: albedo must come from the texture (blue-ish), not Kd (red).
-    o = jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32)
-    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32).T
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32).T
     rec = mesh_mod.mesh_hit_fn(scene, method="dense")(
         o, d, 1e-3, jnp.full((1,), jnp.inf)
     )
-    alb = np.asarray(rec.mat.albedo)[0]
+    alb = np.asarray(rec.mat.albedo)[:, 0]
     assert bool(np.asarray(rec.hit)[0])
     assert alb[2] > 0.5 and alb[0] < 0.1, f"expected textured blue, got {alb}"
 
@@ -136,8 +136,8 @@ def test_union_scene_spheres_plus_mesh():
         pathtracer.spheres_hit_fn(sph),
         mesh_mod.mesh_hit_fn(cube_scene, method="dense"),
     )
-    o = jnp.asarray([[0, 0, 5], [0.9, 0.9, 5]], jnp.float32)
-    d = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32)
+    o = jnp.asarray([[0, 0, 5], [0.9, 0.9, 5]], jnp.float32).T
+    d = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32).T
     rec = union(o, d, 1e-3, jnp.full((2,), jnp.inf))
     hits = np.asarray(rec.hit)
     t = np.asarray(rec.t)
@@ -147,7 +147,7 @@ def test_union_scene_spheres_plus_mesh():
     # Ray 1 misses the sphere, hits the cube front face at z=1 -> t=4.
     np.testing.assert_allclose(t[1], 4.0, rtol=1e-5)
     # Material of ray 0 comes from the sphere (red albedo).
-    np.testing.assert_allclose(np.asarray(rec.mat.albedo)[0], [1, 0, 0],
+    np.testing.assert_allclose(np.asarray(rec.mat.albedo)[:, 0], [1, 0, 0],
                                atol=1e-6)
 
     # And it renders through the integrator.

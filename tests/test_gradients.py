@@ -126,9 +126,9 @@ def _stable_mask(spheres, lights, uniforms, perturb, eps):
         from srt_tpu.ops import intersect
         vp = derive_viewport(CAM)
         o, d = generate_rays(vp, CAM.width, CAM.height,
-                             jnp.asarray(uniforms[:, :2]))
+                             jnp.asarray(uniforms[:, :2]).T)
         hit, t, idx = intersect.sphere_hit(o, d, s.center, s.radius,
-                                           CFG.t_min, jnp.full(o.shape[0], jnp.inf))
+                                           CFG.t_min, jnp.full(o.shape[1], jnp.inf))
         return np.asarray(hit), np.asarray(jnp.where(hit, idx, -1))
 
     h0, i0 = first_hit(perturb(spheres, 0.0))

@@ -28,7 +28,8 @@ def random_rays(n, seed, spread=4.0, target=(0, 0, 0)):
     origins += np.sign(origins) * 2.0  # keep origins outside the model
     dirs = np.asarray(target, np.float32)[None] - origins
     dirs += rng.normal(0, 0.3, (n, 3)).astype(np.float32)
-    return jnp.asarray(origins), jnp.asarray(dirs)
+    # Component-first wavefront layout (ops/vec.py): rays are [3, N].
+    return jnp.asarray(origins).T, jnp.asarray(dirs).T
 
 
 def test_bvh_build_valid():
@@ -82,7 +83,7 @@ def test_crafted_rays_hit_then_model_moved_misses():
     dirs[1::2] = (0.0, 0.0, -1.0)   # odd rays -> model at origin
     dirs[0::2] = (0.0, 0.0, 1.0)    # even rays -> away
     hit_fn = mesh_mod.mesh_hit_fn(scene, method="bvh")
-    rec = hit_fn(jnp.asarray(origins), jnp.asarray(dirs), 1e-3,
+    rec = hit_fn(jnp.asarray(origins).T, jnp.asarray(dirs).T, 1e-3,
                  jnp.full((n,), jnp.inf))
     hits = np.asarray(rec.hit)
     assert hits[1::2].all(), "odd rays must hit the model"
@@ -93,7 +94,8 @@ def test_crafted_rays_hit_then_model_moved_misses():
     moved[0, 3] = 100.0  # world->model: x_m = x_w + 100
     scene2 = mesh_mod.upload(set_frame(flat, 0, moved))
     rec2 = mesh_mod.mesh_hit_fn(scene2, method="bvh")(
-        jnp.asarray(origins), jnp.asarray(dirs), 1e-3, jnp.full((n,), jnp.inf)
+        jnp.asarray(origins).T, jnp.asarray(dirs).T, 1e-3,
+        jnp.full((n,), jnp.inf)
     )
     assert not np.asarray(rec2.hit).any(), "moved model must not be hit"
 
@@ -163,8 +165,8 @@ def test_multi_model_scene():
     flat = flatten_models([cube1, cube2], frames=[f1, f2])
     scene = mesh_mod.upload(flat)
 
-    o = jnp.asarray([[0.0, 0.0, 5.0]] * 2, jnp.float32)
-    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, 5.0]] * 2, jnp.float32).T
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32).T
     rec = mesh_mod.mesh_hit_fn(scene, method="dense")(
         o, d, 1e-3, jnp.full((2,), jnp.inf)
     )

@@ -53,8 +53,8 @@ def test_pallas_multi_model():
                        frames=[np.eye(4, dtype=np.float32), f2],
                        pad_to=128)
     )
-    o = jnp.asarray([[0.0, 0.0, 5.0]] * 4, jnp.float32)
-    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4, jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, 5.0]] * 4, jnp.float32).T
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4, jnp.float32).T
     rec = mesh_mod.mesh_hit_fn(scene, method="pallas")(
         o, d, 1e-3, jnp.full((4,), jnp.inf)
     )

@@ -33,12 +33,12 @@ def test_trace_sharded_matches_single_device():
 
     # Sharded: same rays, same uniforms.
     vp = derive_viewport(cam)
-    origins, dirs = generate_rays(vp, cam.width, cam.height, uniforms[:, 0:2])
+    origins, dirs = generate_rays(vp, cam.width, cam.height, uniforms[:, 0:2].T)
     out = trace_sharded(
         pathtracer.spheres_hit_fn.__call__ if False else (lambda s: pathtracer.spheres_hit_fn(s)),
         spheres, lights, origins, dirs, uniforms, cfg, mesh,
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out).T, np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
 def test_render_sharded_runs_under_jit_2d_mesh():
