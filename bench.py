@@ -74,13 +74,18 @@ def main():
     def run(key):
         stream = KeyStream(key, n)
         from srt_tpu.camera import derive_viewport, generate_rays
+        from srt_tpu.ops.morton import PermutedStream, morton_perm
         vp = derive_viewport(cam)
         jitter = stream.take(2)
         origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+        # Z-order the wavefront for kernel-tile coherence (ops/morton.py),
+        # exactly as trace_image_sample does; un-permute for a usable image.
+        perm, inv = morton_perm(cam.height, cam.width)
         color, stats = pathtracer.trace_wavefront(
-            hit_fn, lights, origins, dirs, stream, cfg, return_stats=True
+            hit_fn, lights, origins[:, perm], dirs[:, perm],
+            PermutedStream(stream, perm), cfg, return_stats=True
         )
-        return color, stats
+        return color[:, inv], stats
 
     runner = jax.jit(run)
     color, stats = runner(jax.random.key(0))

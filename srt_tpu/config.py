@@ -76,6 +76,11 @@ class RenderConfig:
     sky_always: bool = True
     flip_mesh_normals: bool = True
     ray_tile: int = 2048  # rays per Pallas kernel tile
+    # Trace rays in Morton (Z-order) pixel order so kernel tiles cover
+    # compact pixel blocks (the analog of the reference's 8x8 workgroups).
+    # Bit-exact either way — the RNG stream is permuted with the rays
+    # (ops/morton.py); False keeps plain row-major order.
+    morton_order: bool = True
 
 
 # Reference defaults (src/main.cpp:137-138, raytrace_compute.glsl:366-384).

@@ -312,7 +312,20 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
     # base slot protocol unchanged for oracle comparisons.
     defocus = stream.take(2) if cam.defocus_angle > 0 else None
     origins, dirs = generate_rays(vp, cam.width, cam.height, jitter, defocus)
-    radiance = trace_wavefront(closest_hit, lights, origins, dirs, stream, cfg)
+    if cfg.morton_order:
+        # Z-order the wavefront for tile coherence (ops/morton.py); the
+        # stream is permuted identically so the image is bit-identical.
+        from srt_tpu.ops.morton import PermutedStream, morton_perm
+        perm, inv = morton_perm(cam.height, cam.width)
+        origins, dirs = origins[:, perm], dirs[:, perm]
+        radiance = trace_wavefront(
+            closest_hit, lights, origins, dirs, PermutedStream(stream, perm),
+            cfg,
+        )[:, inv]
+    else:
+        radiance = trace_wavefront(
+            closest_hit, lights, origins, dirs, stream, cfg
+        )
     return radiance.T.reshape(cam.height, cam.width, 3)
 
 

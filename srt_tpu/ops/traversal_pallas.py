@@ -251,39 +251,44 @@ def _launch(counts, active, rays, woop, tile: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 def _occupancy_kernel(rays_ref, bounds_ref, occ_ref, *, tile: int):
-    """rays_ref [tile, 8] VMEM; bounds_ref [8, C] VMEM (rows: min xyz,
-    max xyz, pad, pad); occ_ref [8, C] int32 VMEM (this tile's row is
-    program_id % 8) — 1 when any ray in the tile enters the cluster AABB
-    closer than its t_max (``IntersectsBox`` semantics,
-    ray_intersects.glsl:49-58)."""
-    row = jax.lax.rem(pl.program_id(0), 8)
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    inv_x = 1.0 / rays_ref[:, 3:4]
-    inv_y = 1.0 / rays_ref[:, 4:5]
-    inv_z = 1.0 / rays_ref[:, 5:6]
-    t_max = rays_ref[:, 6:7]
+    """rays_ref [8*tile, 8] VMEM; bounds_ref [8, C] VMEM (rows: min xyz,
+    max xyz, pad, pad); occ_ref [8, C] int32 VMEM — row ``sub`` is 1 when
+    any ray in sub-tile ``sub`` enters the cluster AABB closer than its
+    t_max (``IntersectsBox`` semantics, ray_intersects.glsl:49-58).
+
+    One program computes 8 tile rows: at one tile per program the grid was
+    512 tiny programs and per-program launch overhead dominated (3.1 ms for
+    ~30 us of compute at 512x512); 8 tiles per program amortizes it 8x."""
 
     def r(j):
         return bounds_ref[j:j + 1, :]                 # [1, C]
 
-    t0x = (r(0) - ox) * inv_x
-    t1x = (r(3) - ox) * inv_x
-    t0y = (r(1) - oy) * inv_y
-    t1y = (r(4) - oy) * inv_y
-    t0z = (r(2) - oz) * inv_z
-    t1z = (r(5) - oz) * inv_z
-    t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-    t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.maximum(t0z, t1z))
-    sel = jnp.where(t_near >= 0.0, t_near, t_far)
-    hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
-    occ = jnp.any(hit, axis=0, keepdims=True)         # [1, C]
-    occ_ref[pl.ds(row, 1), :] = occ.astype(jnp.int32)
+    for sub in range(8):
+        rays = rays_ref[sub * tile:(sub + 1) * tile, :]
+        ox = rays[:, 0:1]
+        oy = rays[:, 1:2]
+        oz = rays[:, 2:3]
+        inv_x = 1.0 / rays[:, 3:4]
+        inv_y = 1.0 / rays[:, 4:5]
+        inv_z = 1.0 / rays[:, 5:6]
+        t_max = rays[:, 6:7]
+
+        t0x = (r(0) - ox) * inv_x
+        t1x = (r(3) - ox) * inv_x
+        t0y = (r(1) - oy) * inv_y
+        t1y = (r(4) - oy) * inv_y
+        t0z = (r(2) - oz) * inv_z
+        t1z = (r(5) - oz) * inv_z
+        t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+        t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.maximum(t0z, t1z))
+        sel = jnp.where(t_near >= 0.0, t_near, t_far)
+        hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
+        occ = jnp.any(hit, axis=0, keepdims=True)         # [1, C]
+        occ_ref[sub:sub + 1, :] = occ.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -294,15 +299,15 @@ def _launch_occupancy(rays, bounds, tile: int, interpret: bool):
     kernel = functools.partial(_occupancy_kernel, tile=tile)
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // 8,),
         in_specs=[
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+            pl.BlockSpec((8 * tile, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, n_clusters), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((n_tiles, n_clusters), jnp.int32),
-        out_specs=pl.BlockSpec((8, n_clusters), lambda i: (i // 8, 0),
+        out_specs=pl.BlockSpec((8, n_clusters), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rays, bounds)

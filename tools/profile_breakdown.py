@@ -80,7 +80,7 @@ def main():
     o_m, d_m = jax.jit(lambda o, d: transform_rays(scene.frames[0], o, d))(
         origins, dirs)
     rays8 = jnp.concatenate(
-        [o_m, d_m, jnp.full((n, 1), jnp.inf), jnp.zeros((n, 1))], axis=1)
+        [o_m, d_m, jnp.full((1, n), 1e30), jnp.zeros((1, n))], axis=0).T
     nc = scene.cluster_min.shape[0]
     bounds = jnp.concatenate(
         [scene.cluster_min.T, scene.cluster_max.T,
@@ -91,15 +91,16 @@ def main():
 
     # 4. shading-only trace: stub hit fn (no kernel) to isolate integrator
     def stub_hit(o, d, t_min, t_max, any_hit=False):
-        t = jnp.full((o.shape[0],), 5.0)
-        hit = jnp.ones((o.shape[0],), bool)
-        p = o + t[:, None] * d
+        nr = o.shape[1]
+        t = jnp.full((nr,), 5.0)
+        hit = jnp.ones((nr,), bool)
+        p = o + t[None, :] * d
         from srt_tpu.scene import Materials
         zeros = jnp.zeros_like(p)
         mat = Materials(albedo=p * 0 + 0.5, specular=zeros + 0.04,
-                        roughness=jnp.full((o.shape[0],), 0.5),
-                        metalness=jnp.full((o.shape[0],), 0.1),
-                        use_spec=jnp.ones((o.shape[0],), bool))
+                        roughness=jnp.full((nr,), 0.5),
+                        metalness=jnp.full((nr,), 0.1),
+                        use_spec=jnp.ones((nr,), bool))
         nrm = -d
         return pathtracer.Hit(hit=hit, t=t, p=p, normal=nrm, mat=mat)
 
@@ -114,12 +115,15 @@ def main():
 
     # 5. full frame
     def run(key):
+        from srt_tpu.ops.morton import PermutedStream, morton_perm
         s = KeyStream(key, n)
         jit2 = s.take(2)
         o, d = generate_rays(vp, cam.width, cam.height, jit2)
-        c, st = pathtracer.trace_wavefront(hit_fn, lights, o, d, s, cfg,
-                                           return_stats=True)
-        return c, st
+        perm, inv = morton_perm(cam.height, cam.width)
+        c, st = pathtracer.trace_wavefront(
+            hit_fn, lights, o[:, perm], d[:, perm],
+            PermutedStream(s, perm), cfg, return_stats=True)
+        return c[:, inv], st
     f_full = jax.jit(run)
     c, st = f_full(jax.random.key(2))
     jax.block_until_ready(c)
