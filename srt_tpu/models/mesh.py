@@ -77,6 +77,12 @@ class MeshScene:
     woop: Optional[jnp.ndarray] = None         # [13, T]
     cluster_min: Optional[jnp.ndarray] = None  # [C, 3]
     cluster_max: Optional[jnp.ndarray] = None  # [C, 3]
+    # Shared-vertex view for geometry optimization: tri_v0/v1/v2 above are
+    # the pre-gathered per-corner duplicates (model_loader.cpp:296-331);
+    # ``with_positions`` re-derives them from this buffer so vertex
+    # gradients scatter-add back to shared vertices via the gather VJP.
+    tri_vidx: Optional[jnp.ndarray] = None   # [T, 3] int32 into positions
+    positions: Optional[jnp.ndarray] = None  # [V, 3]
 
     model_first_node: tuple = struct.field(pytree_node=False, default=(0,))
     model_first_tri: tuple = struct.field(pytree_node=False, default=(0,))
@@ -147,6 +153,8 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
         woop=woop,
         cluster_min=cmin,
         cluster_max=cmax,
+        tri_vidx=jnp.asarray(scene.tri_vidx),
+        positions=jnp.asarray(scene.positions),
         model_first_node=tuple(int(x) for x in scene.model_first_node),
         model_first_tri=tuple(int(x) for x in scene.model_first_tri),
         model_tri_count=tuple(int(x) for x in scene.model_tri_count),
@@ -155,6 +163,78 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
         stack_depth=int(scene.max_depth) + 2,
         max_leaf=int(scene.node_count.max()),
     )
+
+
+def with_positions(scene: MeshScene, positions) -> MeshScene:
+    """Re-gather the per-corner vertex arrays from a shared vertex buffer.
+
+    The differentiable-geometry entry point: parameterize a render by
+    ``positions`` [V, 3] and gradients through tri_v0/v1/v2 scatter-add
+    back to the *shared* vertices via the gather VJP (BASELINE config 4,
+    "vertex + material gradients"; vertex layout parity:
+    model_loader.cpp:296-331).  Padding triangles duplicate real triangles
+    (utils/flatten.py), so their vidx rows alias real vertices and their
+    gradients land on the same shared vertices — consistent by
+    construction.
+
+    Note: the BVH node bounds and Pallas cluster tables are built from the
+    *uploaded* geometry; within one gradient evaluation they agree with
+    ``positions``, but after an optimizer step moves vertices call
+    ``refit_accel`` (jit-able) so traversal candidates track the geometry.
+    """
+    vidx = scene.tri_vidx
+    return scene.replace(
+        positions=positions,
+        tri_v0=positions[vidx[:, 0]],
+        tri_v1=positions[vidx[:, 1]],
+        tri_v2=positions[vidx[:, 2]],
+    )
+
+
+def refit_accel(scene: MeshScene) -> MeshScene:
+    """Refit acceleration tables to the current tri_v0/v1/v2 (jit-able).
+
+    Rebuilds the Pallas Woop table + cluster AABBs in jnp.  BVH *node*
+    bounds are not refit (the "bvh" strategy is a CPU-validation path);
+    the dense and pallas strategies never read node bounds, so
+    optimization loops using them stay correct.  Use after optimizer
+    steps that move vertices.
+    """
+    if scene.woop is None:
+        return scene
+    from srt_tpu.ops.traversal_pallas import CLUSTER
+
+    v0, v1, v2 = scene.tri_v0, scene.tri_v1, scene.tri_v2
+    e1 = v1 - v0
+    e2 = v2 - v0
+    nrm = jnp.cross(e1, e2)
+    a = jnp.stack([e1, e2, nrm], axis=-1)               # [T, 3, 3]
+    det = jnp.linalg.det(a)
+    # f32 threshold (the host build uses 1e-18 in f64): near-singular
+    # inverses overflow f32, and such slivers never win a closest hit.
+    ok = jnp.abs(det) > 1e-12
+    a_safe = jnp.where(ok[:, None, None], a, jnp.eye(3)[None])
+    a_inv = jnp.linalg.inv(a_safe)
+    trans = -jnp.einsum("tij,tj->ti", a_inv, v0)
+    t_count = v0.shape[0]
+    rows = [a_inv[:, r // 4, r % 4] if r % 4 < 3 else trans[:, r // 4]
+            for r in range(12)]
+    n2 = jnp.sum(nrm * nrm, axis=1)
+    from srt_tpu.ops import intersect as _i
+    eps = jnp.where(ok, _i.MT_PARALLEL_EPS / jnp.maximum(n2, 1e-30), jnp.inf)
+    w = jnp.stack(rows + [eps], axis=0).astype(jnp.float32)  # [13, T]
+    w16 = jnp.zeros((16, t_count), jnp.float32).at[:13].set(w)
+    c_total = t_count // CLUSTER
+    woop = w16.reshape(16, c_total, CLUSTER).transpose(1, 0, 2)
+
+    def chunk(arr):
+        return arr.reshape(c_total, CLUSTER, 3)
+
+    cmin = jnp.minimum(jnp.minimum(chunk(v0).min(1), chunk(v1).min(1)),
+                       chunk(v2).min(1))
+    cmax = jnp.maximum(jnp.maximum(chunk(v0).max(1), chunk(v1).max(1)),
+                       chunk(v2).max(1))
+    return scene.replace(woop=woop, cluster_min=cmin, cluster_max=cmax)
 
 
 def transform_rays(frame, origins, dirs):

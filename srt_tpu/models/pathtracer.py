@@ -95,20 +95,39 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
     return closest_hit
 
 
+def _supports_any_hit(fn) -> bool:
+    """True when ``fn`` accepts the optional ``any_hit`` keyword.  Resolved
+    once from the signature (not by probing the call and swallowing
+    TypeError, which would mask genuine TypeErrors inside the hit fn and
+    silently disable the shadow fast path)."""
+    import inspect
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    if "any_hit" in sig.parameters:
+        return True
+    return any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values())
+
+
 def union_hit_fn(*hit_fns: HitFn) -> HitFn:
     """Combine closest-hit functions into one scene: the nearest hit wins.
 
     The reference switches between spheres and models with the
     ``showModel`` uniform (raytrace_compute.glsl:132-143, either/or);
     this generalizes to heterogeneous scenes (spheres + meshes together).
+    Hit fns without an ``any_hit`` parameter (detected from the signature)
+    are called without it and simply don't get the shadow fast path.
     """
+    takes_any_hit = tuple(_supports_any_hit(fn) for fn in hit_fns)
 
     def closest_hit(origins, dirs, t_min, t_max, any_hit=False):
         best = None
-        for fn in hit_fns:
-            try:
+        for fn, supported in zip(hit_fns, takes_any_hit):
+            if supported:
                 rec = fn(origins, dirs, t_min, t_max, any_hit=any_hit)
-            except TypeError:
+            else:
                 rec = fn(origins, dirs, t_min, t_max)
             if best is None:
                 best = rec

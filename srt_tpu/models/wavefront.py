@@ -23,23 +23,30 @@ def intersect_rays(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
 
     origins/dirs: [N, 3].  Returns (tri_idx [N] int32 with -1 for miss,
     t [N] with inf for miss) — the wavefront-kernel contract
-    (hits[index] = uint(-1) on miss, ray_intersects.glsl:145).
+    (hits[index] = uint(-1) on miss, ray_intersects.glsl:145).  For the
+    full shading record (position/normal/material) use ``intersect_full``.
     """
+    idx, t = hit_ids(scene, origins, dirs, t_min=t_min, t_max=t_max,
+                     method=method)
+    return idx, jnp.where(idx >= 0, t, jnp.inf)
+
+
+def intersect_full(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
+                   t_max=None, method: str = "dense"):
+    """Closest-hit sweep returning the full ``Hit`` record (position,
+    facing normal, converted material) — the shading-ready variant of
+    ``intersect_rays``.  origins/dirs: [N, 3]."""
     n = origins.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), jnp.inf)
-    rec = mesh_hit_fn(scene, method=method)(
+    return mesh_hit_fn(scene, method=method)(
         jnp.asarray(origins, jnp.float32).T, jnp.asarray(dirs, jnp.float32).T,
         t_min, t_max, any_hit=False,
     )
-    # Recover the global triangle index from the Hit record's material
-    # path: mesh_hit_fn tracks it internally; re-run the cheap id-only
-    # query for explicitness.
-    return rec
 
 
 def hit_ids(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
-            method: str = "dense"):
+            t_max=None, method: str = "dense"):
     """Just the per-ray hit triangle ids ([N] int32, -1 = miss), matching
     the reference integration test's readback (``GetHits``)."""
     from srt_tpu.models import mesh as mesh_mod
@@ -47,7 +54,8 @@ def hit_ids(scene: MeshScene, origins, dirs, t_min: float = 1e-3,
     n = origins.shape[0]
     o_t = jnp.asarray(origins, jnp.float32).T
     d_t = jnp.asarray(dirs, jnp.float32).T
-    best_t = jnp.full((n,), jnp.inf)
+    best_t = jnp.full((n,), jnp.inf) if t_max is None \
+        else jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     best_i = jnp.full((n,), jnp.int32(-1))
     for b in range(scene.num_models):
         if method == "pallas":

@@ -61,7 +61,11 @@ def morton_perm(height: int, width: int):
 class PermutedStream:
     """Wrap a KeyStream/ArrayStream so slot blocks come out in ray
     (permuted) order while the underlying stream stays in pixel order —
-    pixel p consumes exactly the same numbers either way."""
+    pixel p consumes exactly the same numbers either way.
+
+    The stream protocol is take-only (``take(k) -> [k, N]``, ops/rng.py);
+    any other attribute access raises so a future stream method can never
+    silently bypass the permutation and break bit-exactness."""
 
     def __init__(self, base, perm):
         self._base = base
@@ -69,3 +73,9 @@ class PermutedStream:
 
     def take(self, k: int):
         return self._base.take(k)[:, self._perm]
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            f"PermutedStream forwards only take(); draw method {name!r} "
+            "would bypass the ray permutation (ops/morton.py)"
+        )

@@ -350,7 +350,16 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     returned).  ``refine=False`` returns the kernel's fp32 candidate t with
     zero u/v — the multi-model caller (models/mesh.py) re-derives exact
     (t, u, v) once for the cross-model winner, saving per-model vertex
-    gathers (row gathers cost ~ms per 256k rays on TPU)."""
+    gathers (row gathers cost ~ms per 256k rays on TPU).
+
+    Differentiability: the kernel is a pure *candidate search* — its
+    outputs are the discrete winning triangle id and an fp32 candidate t
+    that is always replaced by the exact refine for accepted hits.  Every
+    kernel operand is therefore wrapped in ``stop_gradient`` and gradients
+    flow solely through the refine (here or in models/mesh.py), which
+    differentiates t/u/v w.r.t. vertices, frames, and ray geometry — the
+    path-space gradient SURVEY.md section 7.7 specifies for the traversal
+    step (reference hot loop: ray_intersects.glsl:99-133)."""
     from srt_tpu.models.mesh import transform_rays
 
     if scene.woop is None:
@@ -378,19 +387,22 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     t_p = padded(jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,)), 0.0)
 
     # Assembled component-first ([8, Np], lane-dense) then transposed once
-    # into the kernel's [Np, 8] operand layout.
-    rays8 = jnp.concatenate(
+    # into the kernel's [Np, 8] operand layout.  stop_gradient: the kernels
+    # are non-differentiable candidate searches; gradients flow through the
+    # exact refine of the winner only (see docstring).
+    sg = jax.lax.stop_gradient
+    rays8 = sg(jnp.concatenate(
         [o_p, d_p, t_p[None, :], jnp.zeros((1, npad), jnp.float32)], axis=0
-    ).T
-    woop_slice = scene.woop[c_lo:c_lo + n_clusters]
+    ).T)
+    woop_slice = sg(scene.woop[c_lo:c_lo + n_clusters])
 
     # Cluster occupancy per tile (Pallas; see _occupancy_kernel), then a
     # cheap compaction of each tile's hit set into an active-cluster list.
     cmin = scene.cluster_min[c_lo:c_lo + n_clusters]
     cmax = scene.cluster_max[c_lo:c_lo + n_clusters]
-    bounds = jnp.concatenate(
+    bounds = sg(jnp.concatenate(
         [cmin.T, cmax.T, jnp.zeros((2, n_clusters), jnp.float32)], axis=0
-    )                                                   # [8, C]
+    ))                                                  # [8, C]
     interpret = jax.default_backend() != "tpu"
     occ_tile = _launch_occupancy(rays8, bounds, tile, interpret)  # [tiles, C]
     counts = occ_tile.sum(axis=1, dtype=jnp.int32)[:, None]       # [tiles, 1]

@@ -15,6 +15,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+if jax.default_backend() != "tpu":
+    sys.exit("micro_occ.py measures real-TPU dispatch cost; run on a TPU "
+             "backend (interpret-mode numbers would be meaningless)")
+
 
 def timeit(fn, *args, reps=20, warm=2):
     for _ in range(warm):
