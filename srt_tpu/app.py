@@ -35,7 +35,15 @@ class RenderSession:
 
     def __init__(self, closest_hit: HitFn, lights, cam: CameraConfig,
                  cfg: Optional[RenderConfig] = None, seed: int = 0,
-                 show_model: bool = False):
+                 show_model: bool = False, validate_every: int = 0,
+                 log_fn=None):
+        """``validate_every > 0`` runs the render-state validator every N
+        frames and self-heals corrupted accumulation texels
+        (utils/validate.py — the ``ValidateRenderState`` analog,
+        src/main.cpp:358-379).  ``log_fn(metrics_dict)`` receives the
+        structured per-frame metrics (frame index, wall ms, accumulation
+        depth, healed texels) — the frame-time print of main.cpp:616-620
+        grown into machine-readable telemetry."""
         self.cfg = dataclasses.replace(cfg or RenderConfig(), spp=1)
         self.cam_cfg = cam
         self.camera = FPSCamera(position=tuple(cam.origin))
@@ -44,6 +52,12 @@ class RenderSession:
         self._accum = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
         self.frames_accumulated = 0
         self._frame_index = 0
+        self._validate_every = validate_every
+        self._log_fn = log_fn
+        self.metrics = {
+            "frames": 0, "last_frame_ms": 0.0, "avg_frame_ms": 0.0,
+            "healed_texels": 0, "last_report": None,
+        }
 
         n = cam.height * cam.width
 
@@ -83,6 +97,9 @@ class RenderSession:
     def step(self) -> np.ndarray:
         """Trace one 1-spp frame, accumulate, return the sRGB display image
         (uint8-ready float [H, W, 3])."""
+        import time
+
+        t0 = time.perf_counter()
         key = jax.random.fold_in(self._key, self._frame_index)
         self._frame_index += 1
         origin = jnp.asarray(self.camera.position, jnp.float32)
@@ -92,7 +109,28 @@ class RenderSession:
             self._accum, sample, self.frames_accumulated
         )
         self.frames_accumulated += 1
-        return np.asarray(display)
+
+        if self._validate_every and self._frame_index % self._validate_every == 0:
+            from srt_tpu.utils.validate import (heal_accumulation,
+                                                validate_render_state)
+            report = validate_render_state(sample, self._accum, self.camera)
+            self.metrics["last_report"] = report
+            if not report.ok:
+                self._accum, healed = heal_accumulation(
+                    self._accum, self.frames_accumulated)
+                self.metrics["healed_texels"] += healed
+
+        display = np.asarray(display)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        m = self.metrics
+        m["frames"] += 1
+        m["last_frame_ms"] = dt_ms
+        m["avg_frame_ms"] += (dt_ms - m["avg_frame_ms"]) / m["frames"]
+        if self._log_fn is not None:
+            self._log_fn({"frame": self._frame_index, "ms": dt_ms,
+                          "accumulated": self.frames_accumulated,
+                          "healed_texels": m["healed_texels"]})
+        return display
 
     def run(self, frames: int, callback: Optional[Callable] = None) -> np.ndarray:
         """Accumulate ``frames`` frames; returns the final display image.

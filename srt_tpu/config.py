@@ -81,6 +81,13 @@ class RenderConfig:
     # Bit-exact either way — the RNG stream is permuted with the rays
     # (ops/morton.py); False keeps plain row-major order.
     morton_order: bool = True
+    # Re-sort the wavefront between bounces (dead-last, origin Morton
+    # cell, direction octant) so kernel tiles stay coherent after the
+    # primary bounce.  Bit-identical output (the RNG slots follow each
+    # pixel); costs one u32 argsort + gathers per bounce, a large net win
+    # for the Pallas cluster kernel on big scenes.  Off by default: the
+    # dense/CPU paths gain nothing.
+    sort_bounces: bool = False
 
 
 # Reference defaults (src/main.cpp:137-138, raytrace_compute.glsl:366-384).

@@ -1,0 +1,128 @@
+"""Edge-aware (silhouette) visibility gradients for sphere scenes.
+
+Path-space gradients (models/pathtracer.py) treat the hit/miss decision as
+fixed, so moving geometry gets zero gradient from pixels where visibility
+flips — the silhouette boundary term (SURVEY.md hard-part #2; the step
+functions live in ``CheckHit``/``CheckLightOccluded``,
+raytrace_compute.glsl:122-176).  This module supplies that term by
+**reparameterizing primary visibility**: the hard silhouette of the
+primary hit is replaced by a one-pixel-wide analytic coverage ramp that
+blends the hit path's radiance with the EXACT background radiance — the
+same ray re-traced from just beyond the winning sphere's far intersection
+(radiance is invariant along a ray, so the continuation is exactly "this
+pixel without the winning sphere", including later bounces that do see
+the sphere).
+
+The rendered image is then continuous AND differentiable in sphere
+centers/radii across silhouettes: the coverage factor's gradient is the
+boundary term (the approach of differentiable rasterizers' analytic
+antialiasing, specialized to spheres where the silhouette is closed-form).
+Forward cost is ~2x primary (one extra full trace); the un-blended
+renderer stays bit-exact with the reference semantics, so this path is
+opt-in.
+
+Scope: primary-visibility silhouettes.  Secondary discontinuities
+(silhouettes seen in reflections, shadow boundaries) remain path-space
+only — they need edge sampling in the integrator proper (roadmap).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from srt_tpu.camera import derive_viewport, generate_rays
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.models.pathtracer import spheres_hit_fn, trace_wavefront
+from srt_tpu.ops import rng as rng_ops
+from srt_tpu.ops import vec
+from srt_tpu.ops.rng import ArrayStream, KeyStream
+from srt_tpu.ops.vec import bc
+from srt_tpu.scene import Lights, Spheres
+
+
+def _winner_silhouette(spheres: Spheres, origins, dirs, widx):
+    """Per-ray silhouette data of the winning sphere.
+
+    Returns (sdf [N] = r - impact_parameter, positive inside the
+    silhouette; along [N] = distance to the closest approach;
+    t_exit [N] = far quadric root, where the continuation ray starts).
+    All differentiable w.r.t. centers/radii/rays.
+    """
+    from srt_tpu.ops.gather import take_small_t
+    c = take_small_t(spheres.center, widx)                  # [3, N]
+    r = take_small_t(spheres.radius[:, None], widx)[0]      # [N]
+    d = vec.normalize(dirs)
+    oc = c - origins
+    along = jnp.sum(oc * d, axis=0)
+    perp2 = jnp.maximum(vec.norm2(oc) - along * along, 0.0)
+    b = jnp.sqrt(jnp.where(perp2 > 0.0, perp2, 1.0))
+    b = jnp.where(perp2 > 0.0, b, 0.0)                      # NaN-safe grad
+    sdf = r - b
+    half2 = jnp.maximum(r * r - perp2, 0.0)
+    half = jnp.sqrt(jnp.where(half2 > 0.0, half2, 1.0))
+    half = jnp.where(half2 > 0.0, half, 0.0)
+    return sdf, along, along + half
+
+
+def trace_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
+                     cfg: RenderConfig, stream, band: float = 1.0):
+    """One image sample with reparameterized primary visibility.
+
+    ``band`` is the coverage ramp width in pixels (at the sphere's
+    distance).  Returns linear radiance [H, W, 3].  Both traces consume
+    the SAME uniform block, so the blend is between two correlated
+    estimates and the image is deterministic given the stream.
+    """
+    n = cam.width * cam.height
+    vp = derive_viewport(cam)
+    jitter = stream.take(2)
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+
+    n_bounces = cfg.max_depth + cfg.rr_bounces
+    u_block = stream.take(n_bounces * rng_ops.bounce_slots(lights.count))
+
+    hit_fn = spheres_hit_fn(spheres)
+    color_main = trace_wavefront(hit_fn, lights, origins, dirs,
+                                 ArrayStream(u_block.T), cfg)
+
+    # Primary winner + its silhouette coverage.
+    from srt_tpu.ops import intersect
+    p_hit, _p_t, widx = intersect.sphere_hit(
+        origins, dirs, spheres.center, spheres.radius, cfg.t_min,
+        jnp.full((n,), jnp.inf),
+    )
+    sdf, along, t_exit = _winner_silhouette(spheres, origins, dirs, widx)
+    # One-pixel world-space footprint at the closest approach distance
+    # ("reference" viewport: 1x1 at focus_dist, camera.py/derive_viewport).
+    fp = band * jnp.maximum(along, 1e-3) / (
+        cam.focus_dist * min(cam.width, cam.height))
+    cov = jnp.clip(sdf / fp, 0.0, 1.0)
+
+    # Exact background radiance: continuation of the same ray from beyond
+    # the winner's far intersection.  World hit points are unchanged, so
+    # the continuation's radiance (and its path-space gradients) match a
+    # trace with the winner removed for this ray only.
+    d_hat = vec.normalize(dirs)
+    o_bg = origins + bc(jnp.where(p_hit, t_exit + cfg.t_min, 0.0)) * d_hat
+    color_bg = trace_wavefront(hit_fn, lights, o_bg, dirs,
+                               ArrayStream(u_block.T), cfg)
+
+    blend = jnp.where(p_hit, cov, 1.0)
+    radiance = bc(blend) * color_main + bc(1.0 - blend) * color_bg
+    return radiance.T.reshape(cam.height, cam.width, 3)
+
+
+def render_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
+                      cfg: RenderConfig, key, band: float = 1.0):
+    """spp-accumulated edge-aware render (pathtracer.render semantics)."""
+    n = cam.height * cam.width
+
+    def one_sample(s):
+        stream = KeyStream(jax.random.fold_in(key, s), n)
+        return trace_edge_aware(spheres, lights, cam, cfg, stream, band=band)
+
+    if cfg.spp == 1:
+        return one_sample(0)
+    acc = jax.lax.map(one_sample, jnp.arange(cfg.spp))
+    return jnp.mean(acc, axis=0)

@@ -72,6 +72,7 @@ class MeshScene:
     mat_tex_index: jnp.ndarray    # [M] int32
     atlas: Optional[jnp.ndarray] = None  # [H, W, 3] texture atlas or None
     atlas_rects: Optional[jnp.ndarray] = None  # [K, 4] (x, y, w, h) in texels
+    atlas_mip_rects: Optional[jnp.ndarray] = None  # [K, L, 4] mip chain rects
     # Pallas cluster-kernel tables (ops/traversal_pallas.py); present when
     # the scene was flattened with pad_to=128.
     woop: Optional[jnp.ndarray] = None         # [13, T]
@@ -84,6 +85,11 @@ class MeshScene:
     tri_vidx: Optional[jnp.ndarray] = None   # [T, 3] int32 into positions
     positions: Optional[jnp.ndarray] = None  # [V, 3]
 
+    # Distance-based mip LOD: lod = log2(hit_t * mip_lod_scale), clamped to
+    # the chain; 0 disables (base level only).  A path tracer has no screen
+    # derivatives, so this is the standard distance heuristic — set scale
+    # ~ texels-per-world-unit / viewport-rays-per-world-unit for the scene.
+    mip_lod_scale: float = struct.field(pytree_node=False, default=0.0)
     model_first_node: tuple = struct.field(pytree_node=False, default=(0,))
     model_first_tri: tuple = struct.field(pytree_node=False, default=(0,))
     model_tri_count: tuple = struct.field(pytree_node=False, default=(0,))
@@ -97,7 +103,8 @@ class MeshScene:
         return len(self.model_first_node)
 
 
-def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
+def upload(scene: FlatScene, atlas=None, atlas_rects=None,
+           atlas_mip_rects=None, mip_lod_scale: float = 0.0) -> MeshScene:
     """Host FlatScene -> device MeshScene (the ``glBufferData`` moment,
     gpu_loader.cpp:142-182; here a plain pytree of jnp arrays).
 
@@ -150,6 +157,9 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None) -> MeshScene:
         mat_tex_index=jnp.asarray(scene.mat_tex_index),
         atlas=None if atlas is None else jnp.asarray(atlas),
         atlas_rects=None if atlas_rects is None else jnp.asarray(atlas_rects),
+        atlas_mip_rects=(None if atlas_mip_rects is None
+                         else jnp.asarray(atlas_mip_rects)),
+        mip_lod_scale=float(mip_lod_scale),
         woop=woop,
         cluster_min=cmin,
         cluster_max=cmax,
@@ -360,10 +370,19 @@ def _bvh_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
 # Shading hookup
 # ---------------------------------------------------------------------------
 
-def triangle_material(scene: MeshScene, tri_idx, u, v) -> Materials:
+def _mip_lod(scene: MeshScene, t):
+    """Distance-based mip LOD (see MeshScene.mip_lod_scale); None when
+    mips are absent or disabled."""
+    if scene.atlas_mip_rects is None or scene.mip_lod_scale <= 0.0:
+        return None
+    return jnp.log2(jnp.maximum(t * scene.mip_lod_scale, 1.0))
+
+
+def triangle_material(scene: MeshScene, tri_idx, u, v, t=None) -> Materials:
     """OBJ material -> shading material (``TriangleToSupportedMat``,
     raytrace_utils.glsl:140-175): textured albedo via barycentric UV lookup
-    in the atlas, else Kd; roughness ~ 1/(Ns+eps); metalness 0.1;
+    in the atlas (trilinear through the mip chain when ``t`` and mips are
+    available), else Kd; roughness ~ 1/(Ns+eps); metalness 0.1;
     use_spec true."""
     midx = scene.tri_mat[tri_idx]
     albedo = scene.mat_diffuse[midx]
@@ -374,8 +393,10 @@ def triangle_material(scene: MeshScene, tri_idx, u, v) -> Materials:
             + u[:, None] * scene.uv1[tri_idx]
             + v[:, None] * scene.uv2[tri_idx]
         )
+        lod = None if t is None else _mip_lod(scene, t)
         tex_rgb = sample_atlas(
-            scene.atlas, scene.atlas_rects, scene.mat_tex_index[midx], uv
+            scene.atlas, scene.atlas_rects, scene.mat_tex_index[midx], uv,
+            mip_rects=scene.atlas_mip_rects, lod=lod,
         )
         albedo = jnp.where(scene.mat_use_texture[midx][:, None], tex_rgb, albedo)
     rough = 1.0 / (scene.mat_specular_ex[midx] + ROUGHNESS_EPS)
@@ -417,7 +438,7 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
     ], axis=1)
 
 
-def _record_material(scene: MeshScene, rec_t, u, v) -> Materials:
+def _record_material(scene: MeshScene, rec_t, u, v, t=None) -> Materials:
     """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
     packed per-triangle record (component-first [24, N]) — no per-ray
     table gathers."""
@@ -429,9 +450,11 @@ def _record_material(scene: MeshScene, rec_t, u, v) -> Materials:
             + u[None, :] * rec_t[11:13]
             + v[None, :] * rec_t[13:15]
         )
+        lod = None if t is None else _mip_lod(scene, t)
         tex_rgb = sample_atlas(
             scene.atlas, scene.atlas_rects,
-            rec_t[23].astype(jnp.int32), uv.T
+            rec_t[23].astype(jnp.int32), uv.T,
+            mip_rects=scene.atlas_mip_rects, lod=lod,
         ).T
         albedo = jnp.where(rec_t[22:23] > 0.5, tex_rgb, albedo)
     n = rec_t.shape[1]
@@ -445,7 +468,8 @@ def _record_material(scene: MeshScene, rec_t, u, v) -> Materials:
 
 
 def mesh_hit_fn(scene: MeshScene, method: str = "dense",
-                flip_normals: bool = True, ray_tile: int = 0) -> HitFn:
+                flip_normals: bool = True, ray_tile: int = 0,
+                kernel_tile: int = 0) -> HitFn:
     """Build the integrator's closest-hit callable for a mesh scene.
 
     Mirrors the model branch of ``CheckHit`` (raytrace_compute.glsl:143-161):
@@ -453,11 +477,17 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     across models, material conversion on the winning triangle.
 
     ``ray_tile > 0`` processes rays in fixed tiles via ``lax.map`` to bound
-    the [tile, T] dense working set.
+    the [tile, T] dense working set.  ``kernel_tile`` overrides the Pallas
+    kernel's rays-per-tile (default DEFAULT_TILE; smaller tiles tighten
+    per-tile supercluster unions for incoherent bounce rays at 2x the
+    fixed per-tile cost).
     """
     if method == "pallas":
-        from srt_tpu.ops.traversal_pallas import pallas_model_hit
-        model_hit = pallas_model_hit
+        import functools as _ft
+
+        from srt_tpu.ops.traversal_pallas import DEFAULT_TILE, pallas_model_hit
+        model_hit = _ft.partial(pallas_model_hit,
+                                tile=kernel_tile or DEFAULT_TILE)
         ray_tile = 0  # the kernel tiles rays itself
     elif method == "dense":
         model_hit = _dense_model_hit
@@ -561,7 +591,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             facing = jnp.sum(normal * dirs, axis=0) < 0.0
             normal = jnp.where(facing[None, :], normal, -normal)
 
-        mat = _record_material(scene, rec_t, best_u, best_v)
+        mat = _record_material(scene, rec_t, best_u, best_v, t=t_safe)
         return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat)
 
     if ray_tile <= 0:

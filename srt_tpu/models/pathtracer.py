@@ -150,6 +150,41 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
     return closest_hit
 
 
+def _bounce_sort_keys(origins, dirs, alive):
+    """Coherence keys for re-sorting the wavefront between bounces.
+
+    Indirect bounce rays scatter over the surface with random directions,
+    so kernel tiles lose the Morton coherence of the primary wavefront and
+    their active-cluster unions blow up.  Sorting by (dead-last, origin
+    Morton cell, direction octant) re-packs each tile with nearby rays
+    going the same way — and packs terminated paths into all-dead tiles
+    the cluster kernel skips outright.  Pure value-level work: static
+    shapes, one u32 key per ray.
+    """
+    lo = jnp.min(origins, axis=1, keepdims=True)
+    hi = jnp.max(origins, axis=1, keepdims=True)
+    q = jnp.clip(((origins - lo) / jnp.maximum(hi - lo, 1e-6)) * 31.0,
+                 0.0, 31.0).astype(jnp.uint32)          # [3, N] 5-bit cells
+
+    def part1by2(x):  # spread 5 bits with 2-bit gaps
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = (part1by2(q[0]) << 2) | (part1by2(q[1]) << 1) | part1by2(q[2])
+    # 2 bits/axis of the unit direction: a ~30-degree cone per bucket —
+    # sign-only octants leave 90-degree fans whose supercluster unions
+    # cover most of the scene by bounce 3 (measured).
+    inv_len = jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=0), 1e-12))
+    qd = jnp.clip((dirs * inv_len + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
+    dm = (((qd[0] >> 1) << 5) | ((qd[1] >> 1) << 4) | ((qd[2] >> 1) << 3)
+          | ((qd[0] & 1) << 2) | ((qd[1] & 1) << 1) | (qd[2] & 1))
+    dead = (~alive).astype(jnp.uint32)
+    return (dead << 21) | (morton << 6) | dm
+
+
 def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
     cast p -> light, occluded if anything hits before the light.
@@ -203,7 +238,13 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
 
     def bounce_body(carry, inputs):
         bounce, u = inputs
-        origins, dirs, throughput, color, alive = carry
+        origins, dirs, throughput, color, alive, pix = carry
+        if cfg.sort_bounces:
+            # The wavefront is in sorted-ray order; uniforms are drawn in
+            # pixel order, so gather each ray's slots via the position ->
+            # pixel map.  Every pixel consumes exactly the same numbers as
+            # in unsorted order — the image is bit-identical (tested).
+            u = u[:, pix]
         # Dead lanes trace with t_max = 0: compaction-aware intersectors
         # (Pallas cluster kernel) then skip their tiles outright.
         rec = closest_hit(
@@ -300,7 +341,18 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         # Per-bounce ray accounting: closest-hit rays entering the bounce +
         # shadow rays for paths that found a hit (for Mrays/s metrics).
         stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
-        return (origins, dirs, throughput, color, cont), stats
+        if cfg.sort_bounces:
+            # Re-pack the wavefront for the next bounce (see
+            # _bounce_sort_keys); one stable u32 argsort per bounce.
+            order = jnp.argsort(
+                _bounce_sort_keys(origins, dirs, cont), stable=True)
+            origins = origins[:, order]
+            dirs = dirs[:, order]
+            throughput = throughput[:, order]
+            color = color[:, order]
+            cont = cont[order]
+            pix = pix[order]
+        return (origins, dirs, throughput, color, cont, pix), stats
 
     init = (
         origins,
@@ -308,13 +360,17 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         jnp.ones((3, n), jnp.float32),
         jnp.zeros((3, n), jnp.float32),
         jnp.ones((n,), bool),
+        jnp.arange(n, dtype=jnp.int32),
     )
-    (origins, dirs, throughput, color, alive), stats = jax.lax.scan(
+    (origins, dirs, throughput, color, alive, pix), stats = jax.lax.scan(
         bounce_body, init, (jnp.arange(n_bounces), u_bounce)
     )
 
     # Paths that survive the static loop are truncated as a miss.
     color = color + jnp.where(bc(alive), throughput * _sky(dirs, cfg), 0.0)
+    if cfg.sort_bounces:
+        # Scatter radiance back to pixel order.
+        color = jnp.zeros_like(color).at[:, pix].set(color)
     if return_stats:
         return color, stats  # stats: [B, 2] = (trace rays, shadow rays)
     return color

@@ -399,3 +399,85 @@ def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
 
     weight = (total / num_lights) / jnp.maximum(0.001, sel_pdf)
     return selected, sel_idx, weight
+
+
+# ---------------------------------------------------------------------------
+# Legacy sampler tail (brdf.glsl:290-386) — the reference keeps a second,
+# partially-used BRDF/PDF set alongside the "New" path.  Re-implemented for
+# inventory parity, batched over [3, N] wavefronts, with the hash-RNG draws
+# replaced by explicit uniform arguments (ops/rng.py slot discipline) and
+# the half-vector passed explicitly where the reference re-SAMPLES a random
+# one inside an evaluator (SpecularPDF/SpecularBRDF, brdf.glsl:326/341 — a
+# documented quirk we deliberately do not reproduce; see SURVEY.md).
+# ---------------------------------------------------------------------------
+
+def legacy_diffuse_pdf(normal, light_dir):
+    """``DiffusePDF`` (brdf.glsl:320-322): cosine-hemisphere pdf."""
+    return jnp.maximum(dot(normal, light_dir), 0.0) / PI
+
+
+def legacy_specular_pdf(normal, half_vec, light_dir, roughness):
+    """``SpecularPDF`` (brdf.glsl:324-334) with the half-vector passed in:
+    GGX NDF pdf transformed to light direction, D*NdotH / (4*LdotH)."""
+    l_dot_h = saturate(dot(light_dir, half_vec))
+    n_dot_h = saturate(dot(normal, half_vec))
+    d = ggx_ndf_legacy(n_dot_h, roughness)
+    return d * n_dot_h / jnp.maximum(4.0 * l_dot_h, 1e-4)
+
+
+def legacy_diffuse_brdf(mat: Materials):
+    """``DiffuseBRDF`` (brdf.glsl:336-338): albedo / pi."""
+    return mat.albedo / PI
+
+
+def legacy_specular_brdf(normal, view_dir, light_dir, mat: Materials):
+    """``SpecularBRDF`` (brdf.glsl:340-358) with H = normalize(V + L)
+    (the expression the reference comments out in favor of a fresh random
+    half-vector): legacy D * Schlick-G * F / (4 NdotV NdotL)."""
+    h = vec.normalize(view_dir + light_dir)
+    n_dot_l = saturate(dot(normal, light_dir))
+    n_dot_h = saturate(dot(normal, h))
+    l_dot_h = saturate(dot(light_dir, h))
+    n_dot_v = saturate(dot(normal, view_dir))
+    d = ggx_ndf_legacy(n_dot_h, mat.roughness)
+    g = ggx_schlick_masking(n_dot_l, n_dot_v, mat.roughness)
+    f = schlick_fresnel_legacy(mat.specular, l_dot_h)
+    denom = 4.0 * jnp.maximum(n_dot_v, 0.001) * jnp.maximum(n_dot_l, 0.001)
+    return f * bc(d * g / jnp.maximum(denom, 0.001))
+
+
+def legacy_brdf(normal, in_dir, out_dir, mat: Materials, is_diffuse):
+    """``BRDF`` (brdf.glsl:360-386): per-lobe evaluator — cosine-weighted
+    Lambertian for the diffuse lobe, D*G*F/(4 NdotV) for the specular lobe
+    (the reference comments out the NdotL factor; matched)."""
+    data = brdf_data(normal, out_dir, -in_dir, mat)
+    d = ggx_ndf_legacy(data.n_dot_h, mat.roughness)
+    g = ggx_schlick_masking(data.n_dot_l, data.n_dot_v, mat.roughness)
+    f = schlick_fresnel_legacy(specular_f0(mat.albedo, mat.metalness),
+                               data.l_dot_h)
+    ggx_term = f * bc(d * g / jnp.maximum(4.0 * data.n_dot_v, 0.001))
+    diffuse_term = mat.albedo * bc(data.n_dot_l / PI)
+    return jnp.where(bc(is_diffuse), diffuse_term, ggx_term)
+
+
+def legacy_sample_next_ray(p, normal, in_dir, mat: Materials,
+                           u_lobe, u1, u2):
+    """``SampleNextRay`` (brdf.glsl:290-318): luminance-ratio lobe choice,
+    cosine diffuse or GGX half-vector specular bounce, with the matching
+    pdf.  Returns (direction [3, N], pdf [N], is_diffuse [N] bool).
+    Uniform draws are explicit arguments (u_lobe/u1/u2 [N])."""
+    diff_prob = probability_to_sample_diffuse(
+        legacy_diffuse_brdf(mat),
+        legacy_specular_brdf(normal, -in_dir, reflect(in_dir, normal), mat),
+    )
+    is_diffuse = u_lobe < diff_prob
+
+    l_diff = sample_diffuse(normal, u1, u2)
+    half = sample_ggx_half_vector(normal, mat.roughness, u1, u2)
+    l_spec = reflect(in_dir, half)
+
+    direction = jnp.where(bc(is_diffuse), l_diff, l_spec)
+    pdf_diff = legacy_diffuse_pdf(normal, l_diff)
+    pdf_spec = legacy_specular_pdf(normal, half, l_spec, mat.roughness)
+    pdf = jnp.where(is_diffuse, pdf_diff, pdf_spec)
+    return direction, pdf, is_diffuse

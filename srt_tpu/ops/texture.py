@@ -13,17 +13,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_atlas(atlas, rects, tex_index, uv, bilinear: bool = True):
-    """Sample RGB from the atlas.
-
-    atlas: [H, W, 3] float32; rects: [K, 4] int32 (x, y, w, h) texel rects;
-    tex_index: [N] int32 (clamped; callers mask out untextured hits);
-    uv: [N, 2] in [0, 1] with OBJ convention (v up; the loader pre-flips if
-    the source image was top-down).  Wrap mode: repeat (GL default used by
-    the reference's mipmapped GL_TEXTURE_2D, gpu_texture.h:39-53).
-    """
-    idx = jnp.clip(tex_index, 0, rects.shape[0] - 1)
-    r = rects[idx]                                  # [N, 4]
+def _sample_rect(atlas, r, uv, bilinear: bool):
+    """Bilinear (or nearest) fetch inside per-ray rects r [N, 4]."""
     rx, ry = r[:, 0].astype(jnp.float32), r[:, 1].astype(jnp.float32)
     rw, rh = r[:, 2].astype(jnp.float32), r[:, 3].astype(jnp.float32)
 
@@ -57,3 +48,32 @@ def sample_atlas(atlas, rects, tex_index, uv, bilinear: bool = True):
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_atlas(atlas, rects, tex_index, uv, bilinear: bool = True,
+                 mip_rects=None, lod=None):
+    """Sample RGB from the atlas.
+
+    atlas: [H, W, 3] float32; rects: [K, 4] int32 (x, y, w, h) texel rects;
+    tex_index: [N] int32 (clamped; callers mask out untextured hits);
+    uv: [N, 2] in [0, 1] with OBJ convention (v up; the loader pre-flips if
+    the source image was top-down).  Wrap mode: repeat (GL default used by
+    the reference's mipmapped GL_TEXTURE_2D, gpu_texture.h:39-53).
+
+    ``mip_rects`` [K, L, 4] + ``lod`` [N] enable trilinear minification
+    (GL_LINEAR_MIPMAP_LINEAR): bilinear taps at floor(lod) and floor(lod)+1
+    blended by the fraction.  lod is clamped to the chain; the atlas layer
+    stays fully differentiable w.r.t. texels either way.
+    """
+    idx = jnp.clip(tex_index, 0, rects.shape[0] - 1)
+    if mip_rects is None or lod is None:
+        return _sample_rect(atlas, rects[idx], uv, bilinear)
+
+    levels = mip_rects.shape[1]
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    frac = (lod - l0.astype(jnp.float32))[:, None]
+    c0 = _sample_rect(atlas, mip_rects[idx, l0], uv, bilinear)
+    c1 = _sample_rect(atlas, mip_rects[idx, l1], uv, bilinear)
+    return c0 * (1 - frac) + c1 * frac

@@ -6,12 +6,17 @@ for the VPU's 8x128 lanes instead of SIMT threads:
 
 * Triangles are kept in **BVH order** (spatially coherent; the builder
   already reorders primitives, bvh.h:66-72) and chunked into clusters of
-  128 — one cluster fills the VPU lane dimension exactly.
-* Culling is two-phase: an XLA-side slab test of every ray against every
-  cluster AABB produces, per ray tile, a **compacted list of active
-  clusters**; the kernel loops over exactly those clusters — the TPU
-  analog of BVH early-out with zero divergence inside a tile and no
-  wasted loop iterations on skipped clusters.
+  128 — one cluster fills the VPU lane dimension exactly; 16 consecutive
+  clusters form a **supercluster** (2,048 triangles).
+* Culling is hierarchical and two-kernel: a cheap **cull kernel**
+  slab-tests each ray tile against every supercluster AABB and emits a
+  compacted, **near-to-far ordered** list of active supers (rank + select
+  matmuls in-kernel — no sort, no gather); the **intersect kernel** walks
+  exactly that list, slab-tests each super's 16 cluster AABBs against the
+  rays' *current best t*, and bit-gates the per-cluster Woop evaluation.
+  A shrinking tile-best-t scalar gate skips far supers outright once every
+  ray has a hit — the TPU analog of ordered BVH descent with zero
+  divergence inside a tile.
 * Intersection uses the **Woop unit-triangle transform**: a precomputed
   affine map per triangle turns the test into ~24 fused multiply-adds per
   (ray, triangle) — about half the arithmetic of Moller-Trumbore and with
@@ -41,10 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 from srt_tpu.ops import intersect
 
 CLUSTER = 128          # triangles per cluster == VPU lane width
+SUPER = 16             # clusters per supercluster (word-packable in f32)
 DEFAULT_TILE = 512     # rays per kernel tile
 DEN_EPS_SCALE = intersect.MT_PARALLEL_EPS  # parallel-ray determinant eps
 T_EPS = intersect.MT_HIT_EPS
 EDGE_EPS = 1e-4        # candidate acceptance slop at shared edges
+BIG = 3.0e37   # finite miss sentinel (inf would NaN in 0*inf)
 
 
 # ---------------------------------------------------------------------------
@@ -107,162 +114,44 @@ def build_clusters(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# The kernel
-# ---------------------------------------------------------------------------
-
-def _intersect_kernel(count_ref, active_ref, rays_ref, woop_ref,
-                      out_t_ref, out_i_ref, bt_ref, bi_ref, *, tile: int):
-    """One ray tile vs its active clusters of one model.
-
-    count_ref:  [8, 1] int32 SMEM — active clusters per tile (8-row window,
-                this tile's row is program_id % 8); only used to skip
-                all-dead / no-overlap tiles outright;
-    active_ref: [8, C] int32 SMEM — per-cluster occupancy bits (1 = some
-                ray in the tile enters the cluster AABB); inactive clusters
-                are skipped with a branch, which replaces the host-side
-                argsort compaction (the XLA sort cost ~1.4 ms per call);
-    rays_ref:   [tile, 8] VMEM — ox oy oz dx dy dz t_max pad;
-    woop_ref:   [C, 16, 128] VMEM — per-cluster Woop rows (13 used, padded
-                to 16 sublanes) so cluster selection is a dynamic index on
-                the untiled leading axis, which Mosaic handles cheaply
-                (dynamic *lane*-axis slices explode compile time);
-    outputs [tile, 1] f32 / int32.
-    """
-    row = jax.lax.rem(pl.program_id(0), 8)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER), 1)
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
-    t_max = rays_ref[:, 6:7]
-
-    # Default outputs; overwritten when the tile has active clusters.
-    # Tiles whose rays are all dead (t_max == 0, set by the integrator for
-    # terminated paths) cost only these two writes.
-    out_t_ref[:] = t_max
-    out_i_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
-
-    n_clusters = woop_ref.shape[0]
-
-    def cluster_body(c, carry):
-        # Lane-wise running minima held in VMEM scratch, mutated in place —
-        # skipped clusters cost one SMEM read + branch, no state copies
-        # (a lax.cond carrying [tile, 128] state copies it per iteration).
-        @pl.when(active_ref[row, c] > 0)
-        def _intersect_cluster():
-            best_t = bt_ref[:]
-            best_i = bi_ref[:]
-            base = c * CLUSTER
-            w = woop_ref[c]                       # [16, 128]
-
-            def r(j):
-                return w[j:j + 1, :]              # [1, 128]
-
-            zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
-            zd = dx * r(8) + dy * r(9) + dz * r(10)
-            parallel = jnp.abs(zd) <= r(12)
-            den = jnp.where(parallel, 1.0, zd)
-            inv = pl.reciprocal(den, approx=True)
-            inv = inv * (2.0 - den * inv)         # one Newton step
-            t = -zo * inv
-            xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
-            xd = dx * r(0) + dy * r(1) + dz * r(2)
-            u = xo + t * xd
-            yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
-            yd = dx * r(4) + dy * r(5) + dz * r(6)
-            v = yo + t * yd
-
-            valid = (
-                (~parallel)
-                & (t > T_EPS)
-                & (u >= -EDGE_EPS) & (v >= -EDGE_EPS)
-                & (u + v <= 1.0 + 2 * EDGE_EPS)
-                & (t < best_t)
-            )
-            bi_ref[:] = jnp.where(valid, base + lane, best_i)
-            bt_ref[:] = jnp.where(valid, t, best_t)
-
-        return carry
-
-    @pl.when(count_ref[row, 0] > 0)
-    def _process():
-        bt_ref[:] = jnp.broadcast_to(t_max, (tile, CLUSTER))
-        bi_ref[:] = jnp.full((tile, CLUSTER), jnp.int32(2 ** 30), jnp.int32)
-        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
-        best_t = bt_ref[:]
-        best_i = bi_ref[:]
-        t_min = jnp.min(best_t, axis=1, keepdims=True)
-        hit = t_min < t_max
-        # Smallest triangle index among lanes attaining the minimum.
-        i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
-        i_min = jnp.min(i_cand, axis=1, keepdims=True)
-        out_t_ref[:] = t_min
-        out_i_ref[:] = jnp.where(hit, i_min, -1)
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _launch(counts, active, rays, woop, tile: int, interpret: bool):
-    """counts [n_tiles, 1], active [n_tiles, C], rays [n_tiles*tile, 8];
-    one tile per program; SMEM windows are 8-row blocks (Mosaic block-shape
-    constraint), the kernel reads its own row via program_id % 8."""
-    n_tiles = rays.shape[0] // tile
-    assert n_tiles % 8 == 0
-    n_clusters = active.shape[1]
-    kernel = functools.partial(_intersect_kernel, tile=tile)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, n_clusters), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((woop.shape[0], 16, CLUSTER), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile, CLUSTER), jnp.float32),
-            pltpu.VMEM((tile, CLUSTER), jnp.int32),
-        ],
-        interpret=interpret,
-    )(counts, active, rays, woop)
-
-
-# ---------------------------------------------------------------------------
-# Occupancy kernel: per-(tile, cluster) slab test, reduced over the tile.
+# Cull kernel: supercluster slab test + entry-ordered compacted super lists.
 #
-# Computing this with plain jnp broadcasting triggers a catastrophic XLA
-# compile-time pathology on the TPU backend (minutes for a [N, C] slab
-# test + reduce); as a Pallas kernel it compiles in ~1 s and runs faster.
+# Superclusters are groups of SUPER=16 consecutive clusters (2,048 triangles
+# in BVH order).  Per ray tile this kernel slab-tests the rays against every
+# supercluster AABB, ranks the hit supers by their nearest entry distance
+# (pairwise-compare matmuls — S is small), and emits a compacted,
+# near-to-far ORDERED list of (super index, entry distance) plus a count.
+# The intersect kernel walks exactly that list, so its per-tile scalar work
+# is O(active supers), not O(total clusters), and the front-to-back order
+# makes its shrinking-t gate an effective BVH-style early-out.
+#
+# (Computing slab tests with plain jnp broadcasting triggers a catastrophic
+# XLA compile-time pathology on this backend; everything stays in Pallas.)
 # ---------------------------------------------------------------------------
 
-def _occupancy_kernel(rays_ref, bounds_ref, occ_ref, *, tile: int):
-    """rays_ref [8*tile, 8] VMEM; bounds_ref [8, C] VMEM (rows: min xyz,
-    max xyz, pad, pad); occ_ref [8, C] int32 VMEM — row ``sub`` is 1 when
-    any ray in sub-tile ``sub`` enters the cluster AABB closer than its
-    t_max (``IntersectsBox`` semantics, ray_intersects.glsl:49-58).
+def _cull_kernel(rays_ref, sb_ref, clist_ref, elist_ref, counts_ref,
+                 ebuf_ref, *, tile: int, s_count: int):
+    """rays_ref [8*tile, 8] VMEM (ox oy oz dx dy dz t_max pad); sb_ref
+    [8, S] VMEM super bounds (rows: min xyz, max xyz, pad, pad); outputs
+    clist_ref [8, S] int32 / elist_ref [8, S] f32 (row ``sub`` is tile row
+    sub's ordered super list, list slots on the lane axis) and counts_ref
+    [8, 1] int32.
 
-    One program computes 8 tile rows: at one tile per program the grid was
-    512 tiny programs and per-program launch overhead dominated (3.1 ms for
-    ~30 us of compute at 512x512); 8 tiles per program amortizes it 8x."""
+    One program computes 8 tile rows (per-program launch overhead measured
+    ~6 us; 8 rows amortize it)."""
+    s = s_count
+    # Mosaic iota must be integer-typed; cast for the f32 rank arithmetic.
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1).astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32)
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+             ).astype(jnp.float32)
+    dn = (((1,), (1,)), ((), ()))  # contract lane axes: [8,S] -> [S,8]
 
     def r(j):
-        return bounds_ref[j:j + 1, :]                 # [1, C]
+        return sb_ref[j:j + 1, :]                     # [1, S]
 
+    # Pass 1: per-row super slab tests -> masked entry distances [8, S].
     for sub in range(8):
         rays = rays_ref[sub * tile:(sub + 1) * tile, :]
         ox = rays[:, 0:1]
@@ -287,30 +176,293 @@ def _occupancy_kernel(rays_ref, bounds_ref, occ_ref, *, tile: int):
                             jnp.maximum(t0z, t1z))
         sel = jnp.where(t_near >= 0.0, t_near, t_far)
         hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
-        occ = jnp.any(hit, axis=0, keepdims=True)         # [1, C]
-        occ_ref[sub:sub + 1, :] = occ.astype(jnp.int32)
+        ebuf_ref[sub:sub + 1, :] = jnp.min(
+            jnp.where(hit, sel, BIG), axis=0, keepdims=True)
+
+    # Pass 2: rank active supers by entry distance (ties by index), then
+    # build the one-hot selection matrix M[c, j] = (rank[c] == j) & occ[c]
+    # and reduce it against index / entry vectors — a gather-free,
+    # sort-free compaction that also front-to-back orders the list.
+    # Supers live on sublanes, output list slots on lanes; the two
+    # [8, S] -> [S, 8] relayouts ride the MXU via one identity dot each
+    # (per-row dots measured ~1 us apiece — batching them 8x matters).
+    e_all = ebuf_ref[:]                               # [8, S]
+    occ_all = (e_all < BIG).astype(jnp.float32)
+    counts_ref[:] = jnp.sum(occ_all, axis=1, keepdims=True).astype(jnp.int32)
+    # precision=HIGHEST: at the TPU default (bf16 inputs) the relayout
+    # rounds the entry distances, which desynchronizes the exact-equality
+    # tie-break below -> rank collisions -> two supers summed into one
+    # list slot and another slot dropped (observed as lost hits on v5e).
+    hi = jax.lax.Precision.HIGHEST
+    e_t = jax.lax.dot_general(ident, e_all, dn, precision=hi,
+                              preferred_element_type=jnp.float32)   # [S, 8]
+    o_t = jax.lax.dot_general(ident, occ_all, dn, precision=hi,
+                              preferred_element_type=jnp.float32)
+    for sub in range(8):
+        entry = e_all[sub:sub + 1, :]                 # [1, S]
+        occ = occ_all[sub:sub + 1, :]
+        e_s = e_t[:, sub:sub + 1]                     # [S, 1]
+        o_s = o_t[:, sub:sub + 1]
+        # before[c, j] = active j strictly nearer than c (ties by index).
+        before = jnp.where(
+            (entry < e_s) | ((entry == e_s) & (iota_l < iota_s)), occ, 0.0)
+        rank_s = jnp.sum(before, axis=1, keepdims=True)        # [S, 1]
+        m = jnp.where((rank_s == iota_l) & (o_s > 0), 1.0, 0.0)  # [S, S]
+        clist = jnp.sum(m * iota_s, axis=0, keepdims=True)     # [1, S]
+        elist = jnp.sum(m * jnp.where(o_s > 0, e_s, 0.0),
+                        axis=0, keepdims=True)
+        clist_ref[sub:sub + 1, :] = clist.astype(jnp.int32)
+        elist_ref[sub:sub + 1, :] = elist
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _launch_occupancy(rays, bounds, tile: int, interpret: bool):
+def _launch_cull(rays, sbounds, tile: int, interpret: bool):
     n_tiles = rays.shape[0] // tile
     assert n_tiles % 8 == 0
-    n_clusters = bounds.shape[1]
-    kernel = functools.partial(_occupancy_kernel, tile=tile)
+    s = sbounds.shape[1]
+    kernel = functools.partial(_cull_kernel, tile=tile, s_count=s)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // 8,),
         in_specs=[
             pl.BlockSpec((8 * tile, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_clusters), lambda i: (0, 0),
+            pl.BlockSpec((8, s), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_clusters), jnp.int32),
-        out_specs=pl.BlockSpec((8, n_clusters), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, s), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, s), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, s), jnp.float32)],
         interpret=interpret,
-    )(rays, bounds)
+    )(rays, sbounds)
+
+
+# ---------------------------------------------------------------------------
+# Intersect kernel: walk the ordered super list with a shrinking-t gate.
+# ---------------------------------------------------------------------------
+
+def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
+                      woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref,
+                      rb_ref, tbm_ref, word_ref, done_ref, *, tile: int,
+                      any_hit: bool):
+    """One ray tile vs its active superclusters of one model.
+
+    counts_ref: [8, 1] int32 SMEM (8-row window, this tile's row is
+                program_id % 8) — number of active supers;
+    clist_ref:  [8, S] int32 SMEM — near-to-far ordered super indices;
+    elist_ref:  [8, S] f32 SMEM — matching super entry distances;
+    rays_ref:   [tile, 8] VMEM — ox oy oz dx dy dz t_max pad;
+    cb_ref:     [S, 8, 16] VMEM — per-super cluster AABBs (rows: min xyz,
+                max xyz, pad, pad; SUPER=16 clusters on the lane axis);
+                padded clusters carry inverted boxes so they never pass;
+    woop_ref:   [C, 16, 128] VMEM — per-cluster Woop rows (13 used);
+                dynamic indexing stays on the untiled leading axis;
+    scratch:    bt/bi [tile, 128] running lane minima; rb [tile, 1] f32
+                per-ray best t (refreshed once per processed super — the
+                cluster slab gate may see it one super stale, which only
+                admits extra clusters, never drops hits); tbm [1, 1] f32
+                SMEM (tile best-t gate: max over rays of rb); word [1, 1]
+                int32 SMEM (per-super cluster bits); done [1, 1] int32
+                SMEM (any-hit mode: 1 once every ray is resolved).
+
+    ``any_hit=True`` is the shadow-ray mode (``CheckLightOccluded``,
+    raytrace_compute.glsl:167-176): after each processed super the kernel
+    checks whether every ray already found *some* hit inside its t_max (or
+    is dead) and, once true, skips all remaining supers at one scalar
+    compare each — the first-accepted-hit early-out the closest-hit walk
+    cannot take.
+
+    The gate is the TPU analog of ordered BVH descent: supers arrive
+    near-to-far, so once every ray in the tile has a hit, tbm collapses to
+    the tile's worst best-t and all farther supers skip at ~1 scalar
+    compare each (``Intersects`` early-out parity,
+    ray_intersects.glsl:99-133).
+    """
+    row = jax.lax.rem(pl.program_id(0), 8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER), 1)
+    ox = rays_ref[:, 0:1]
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    t_max = rays_ref[:, 6:7]
+
+    # Default outputs; overwritten when the tile has active supers.  Tiles
+    # whose rays are all dead (t_max == 0, set by the integrator for
+    # terminated paths) cost only these two writes.
+    out_t_ref[:] = t_max
+    out_i_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+
+    def super_body(j, carry):
+        # Shrinking-t gate: skip the super outright when its nearest entry
+        # is beyond every ray's current best hit (and, in any-hit mode,
+        # once every ray is resolved).
+        gate = elist_ref[row, j] < tbm_ref[0, 0]
+        if any_hit:
+            gate = gate & (done_ref[0, 0] == 0)
+
+        @pl.when(gate)
+        def _do_super():
+            s_idx = clist_ref[row, j]
+            b = cb_ref[s_idx]                     # [8, 16]
+            ray_best = rb_ref[:]                  # [tile, 1]
+
+            def br(q):
+                return b[q:q + 1, :]              # [1, 16]
+
+            inv_x = 1.0 / dx
+            inv_y = 1.0 / dy
+            inv_z = 1.0 / dz
+            t0x = (br(0) - ox) * inv_x
+            t1x = (br(3) - ox) * inv_x
+            t0y = (br(1) - oy) * inv_y
+            t1y = (br(4) - oy) * inv_y
+            t0z = (br(2) - oz) * inv_z
+            t1z = (br(5) - oz) * inv_z
+            t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+            t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                            jnp.maximum(t0y, t1y)),
+                                jnp.maximum(t0z, t1z))
+            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            enters = (t_near <= t_far) & (t_far >= 0.0) & (sel < ray_best)
+            occ16 = jnp.any(enters, axis=0, keepdims=True)        # [1, 16]
+            pw = jnp.exp2(jax.lax.broadcasted_iota(
+                jnp.int32, (1, SUPER), 1).astype(jnp.float32))
+            word_ref[0, 0] = jnp.sum(
+                jnp.where(occ16, pw, 0.0)).astype(jnp.int32)
+            w_bits = word_ref[0, 0]
+
+            for k in range(SUPER):
+                @pl.when(((w_bits >> k) & 1) > 0)
+                def _cluster(k=k):
+                    c = s_idx * SUPER + k
+                    best_t = bt_ref[:]
+                    best_i = bi_ref[:]
+                    base = c * CLUSTER
+                    w = woop_ref[c]               # [16, 128]
+
+                    def r(q):
+                        return w[q:q + 1, :]      # [1, 128]
+
+                    # NOTE: tried as six thin [tile,4]x[4,128] MXU dots —
+                    # 6x SLOWER on v5e (Mosaic lowers tiny-K dots badly);
+                    # broadcast FMAs on the VPU are the right form here.
+                    zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+                    zd = dx * r(8) + dy * r(9) + dz * r(10)
+                    parallel = jnp.abs(zd) <= r(12)
+                    den = jnp.where(parallel, 1.0, zd)
+                    inv = pl.reciprocal(den, approx=True)
+                    inv = inv * (2.0 - den * inv)  # one Newton step
+                    t = -zo * inv
+                    xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+                    xd = dx * r(0) + dy * r(1) + dz * r(2)
+                    u = xo + t * xd
+                    yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+                    yd = dx * r(4) + dy * r(5) + dz * r(6)
+                    v = yo + t * yd
+
+                    valid = (
+                        (~parallel)
+                        & (t > T_EPS)
+                        & (u >= -EDGE_EPS) & (v >= -EDGE_EPS)
+                        & (u + v <= 1.0 + 2 * EDGE_EPS)
+                        & (t < best_t)
+                    )
+                    bi_ref[:] = jnp.where(valid, base + lane, best_i)
+                    bt_ref[:] = jnp.where(valid, t, best_t)
+
+            # Tighten the gates: per-ray best t (one lane reduce, shared
+            # by the next super's cluster slab) and its max over rays.
+            # Rays that miss everything keep t_max (inf) and disable the
+            # tile gate — correct, just slower at silhouettes.
+            rb = jnp.min(bt_ref[:], axis=1, keepdims=True)
+            rb_ref[:] = rb
+            tbm_ref[0, 0] = jnp.max(rb)
+            if any_hit:
+                done_ref[0, 0] = jnp.all(rb < t_max).astype(jnp.int32)
+
+        return carry
+
+    @pl.when(counts_ref[row, 0] > 0)
+    def _process():
+        bt_ref[:] = jnp.broadcast_to(t_max, (tile, CLUSTER))
+        bi_ref[:] = jnp.full((tile, CLUSTER), jnp.int32(2 ** 30), jnp.int32)
+        rb_ref[:] = t_max
+        tbm_ref[0, 0] = BIG
+        if any_hit:
+            done_ref[0, 0] = 0
+        jax.lax.fori_loop(0, counts_ref[row, 0], super_body, 0)
+        best_t = bt_ref[:]
+        best_i = bi_ref[:]
+        t_min = jnp.min(best_t, axis=1, keepdims=True)
+        hit = t_min < t_max
+        # Smallest triangle index among lanes attaining the minimum.
+        i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
+        i_min = jnp.min(i_cand, axis=1, keepdims=True)
+        out_t_ref[:] = t_min
+        out_i_ref[:] = jnp.where(hit, i_min, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "interpret", "any_hit"))
+def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
+            interpret: bool, any_hit: bool = False):
+    """counts [n_tiles, 1], clist/elist [n_tiles, S], rays [n_tiles*tile, 8],
+    cbounds [S, 8, 16], woop [C, 16, 128]; one tile per program; SMEM
+    windows are 8-column blocks (Mosaic block-shape constraint), the kernel
+    reads its own column via program_id % 8."""
+    n_tiles = rays.shape[0] // tile
+    assert n_tiles % 8 == 0
+    s = clist.shape[1]
+    kernel = functools.partial(_intersect_kernel, tile=tile, any_hit=any_hit)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 8, SUPER), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((woop.shape[0], 16, CLUSTER), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, CLUSTER), jnp.float32),
+            pltpu.VMEM((tile, CLUSTER), jnp.int32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, clist, elist, rays, cbounds, woop)
 
 
 # ---------------------------------------------------------------------------
@@ -396,18 +548,37 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     ).T)
     woop_slice = sg(scene.woop[c_lo:c_lo + n_clusters])
 
-    # Cluster occupancy per tile (Pallas; see _occupancy_kernel), then a
-    # cheap compaction of each tile's hit set into an active-cluster list.
-    cmin = scene.cluster_min[c_lo:c_lo + n_clusters]
-    cmax = scene.cluster_max[c_lo:c_lo + n_clusters]
-    bounds = sg(jnp.concatenate(
-        [cmin.T, cmax.T, jnp.zeros((2, n_clusters), jnp.float32)], axis=0
-    ))                                                  # [8, C]
-    interpret = jax.default_backend() != "tpu"
-    occ_tile = _launch_occupancy(rays8, bounds, tile, interpret)  # [tiles, C]
-    counts = occ_tile.sum(axis=1, dtype=jnp.int32)[:, None]       # [tiles, 1]
+    # Super/cluster AABB tables for the cull + intersect kernels.  Clusters
+    # pad to a full super; the padding for the per-cluster slab table is
+    # NaN boxes (every slab comparison is false -> guaranteed miss, for any
+    # ray direction — an "inverted" box would slab-test as a huge one), so
+    # the bit-gated Woop branch never reads past the model's real cluster
+    # range.  The super min/max reduction instead pads with +/-BIG
+    # identities so partial supers keep their real bounds.
+    cmin = sg(scene.cluster_min[c_lo:c_lo + n_clusters])
+    cmax = sg(scene.cluster_max[c_lo:c_lo + n_clusters])
+    s_count = -(-n_clusters // SUPER)  # ceil
+    c_pad = s_count * SUPER - n_clusters
+    cmin_n = jnp.pad(cmin, ((0, c_pad), (0, 0)), constant_values=jnp.nan)
+    cmax_n = jnp.pad(cmax, ((0, c_pad), (0, 0)), constant_values=jnp.nan)
+    # [S, 8, 16]: rows 0-2 min xyz, 3-5 max xyz, 6-7 pad.
+    cb = jnp.concatenate([
+        cmin_n.reshape(s_count, SUPER, 3).transpose(0, 2, 1),
+        cmax_n.reshape(s_count, SUPER, 3).transpose(0, 2, 1),
+        jnp.zeros((s_count, 2, SUPER), jnp.float32),
+    ], axis=1)
+    cmin_p = jnp.pad(cmin, ((0, c_pad), (0, 0)), constant_values=BIG)
+    cmax_p = jnp.pad(cmax, ((0, c_pad), (0, 0)), constant_values=-BIG)
+    smin = cmin_p.reshape(s_count, SUPER, 3).min(axis=1)       # [S, 3]
+    smax = cmax_p.reshape(s_count, SUPER, 3).max(axis=1)
+    sbounds = jnp.concatenate(
+        [smin.T, smax.T, jnp.zeros((2, s_count), jnp.float32)], axis=0
+    )                                                          # [8, S]
 
-    out_t, out_i = _launch(counts, occ_tile, rays8, woop_slice, tile, interpret)
+    interpret = jax.default_backend() != "tpu"
+    clist, elist, counts = _launch_cull(rays8, sbounds, tile, interpret)
+    out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
+                           tile, interpret, any_hit=any_hit)
     out_t = out_t[:n, 0]
     out_i = out_i[:n, 0]
 

@@ -45,14 +45,34 @@ def init_distributed(coordinator: Optional[str] = None,
         pass
 
 
-def local_shard_bounds(n: int, mesh: jax.sharding.Mesh) -> tuple:
+def _bounds_from_slices(slices, n: int) -> tuple:
+    """Hull of a process's index slices; raises on non-contiguous
+    ownership (an exotic device order this driver does not support)."""
+    if not slices:
+        return 0, 0
+    starts = [s.start or 0 for s in slices]
+    stops = [n if s.stop is None else s.stop for s in slices]
+    lo, hi = min(starts), max(stops)
+    if sum(b - a for a, b in zip(starts, stops)) != hi - lo:
+        raise ValueError(
+            "process owns a non-contiguous slice of the rays axis; "
+            "reorder the mesh devices process-major (parallel/mesh.py)"
+        )
+    return lo, hi
+
+
+def local_shard_bounds(n: int, mesh: jax.sharding.Mesh,
+                       process_index: Optional[int] = None) -> tuple:
     """Row range of ``n`` items owned by this process under rays-sharding —
-    used by multi-host drivers to generate only their tile of the image."""
-    total = mesh.shape[RAYS_AXIS]
-    per = n // total
-    # Processes own contiguous blocks of the rays axis in mesh order.
-    procs = jax.process_count()
-    shards_per_proc = max(1, total // procs)
-    lo = jax.process_index() * shards_per_proc * per
-    hi = lo + shards_per_proc * per
-    return lo, min(hi, n)
+    used by multi-host drivers to generate only their tile of the image.
+
+    Derived from the sharding's actual device->index map (NOT from an
+    assumed process-major device order): correct for any mesh whose
+    per-process ownership is contiguous, and loud otherwise."""
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(RAYS_AXIS))
+    pid = jax.process_index() if process_index is None else process_index
+    imap = sharding.devices_indices_map((n,))
+    slices = [idx[0] for dev, idx in imap.items()
+              if dev.process_index == pid]
+    return _bounds_from_slices(slices, n)

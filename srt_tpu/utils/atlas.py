@@ -19,14 +19,41 @@ import numpy as np
 @dataclasses.dataclass
 class Atlas:
     """Packed texture atlas: image [H, W, 3] float32 linear + rects [K, 4]
-    int32 (x, y, w, h)."""
+    int32 (x, y, w, h).  When built with ``mip_levels > 1``, ``mip_rects``
+    [K, L, 4] locates each texture's mip chain inside the same image
+    (level 0 == rects; textures that bottom out early repeat their last
+    level) — the analog of the reference's ``glGenerateMipmap`` +
+    ``GL_LINEAR_MIPMAP_LINEAR`` sampler state (gpu_texture.h:39-53)."""
 
     image: np.ndarray
     rects: np.ndarray
+    mip_rects: Optional[np.ndarray] = None
 
     @property
     def num_textures(self) -> int:
         return self.rects.shape[0]
+
+    @property
+    def num_levels(self) -> int:
+        return 1 if self.mip_rects is None else self.mip_rects.shape[1]
+
+
+def build_mip_chain(img: np.ndarray, levels: int) -> List[np.ndarray]:
+    """Box-filtered mip chain (level 0 = img), up to ``levels`` entries or
+    until a dimension reaches 1.  Odd dimensions drop the last row/column
+    before the 2x2 average (GL-style floor halving)."""
+    chain = [np.asarray(img, np.float32)]
+    while len(chain) < levels:
+        prev = chain[-1]
+        h, w = prev.shape[:2]
+        if h < 2 or w < 2:
+            break
+        h2, w2 = h // 2, w // 2
+        crop = prev[: h2 * 2, : w2 * 2]
+        chain.append(
+            crop.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3)).astype(np.float32)
+        )
+    return chain
 
 
 _image_cache: Dict[str, np.ndarray] = {}
@@ -56,44 +83,70 @@ def load_image(path: str) -> Optional[np.ndarray]:
     return _image_cache[path]
 
 
-def pack_atlas(images: Sequence[np.ndarray]) -> Atlas:
-    """Shelf-pack images into one array (simple height-sorted shelves)."""
+def pack_atlas(images: Sequence[np.ndarray], mip_levels: int = 1) -> Atlas:
+    """Shelf-pack images into one array (simple height-sorted shelves).
+
+    ``mip_levels > 1`` also packs each image's box-filtered mip chain and
+    records it in ``Atlas.mip_rects`` [K, L, 4] (short chains repeat their
+    last level so every texture has exactly L entries)."""
     if not images:
         return Atlas(image=np.zeros((1, 1, 3), np.float32),
                      rects=np.zeros((0, 4), np.int32))
-    order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
-    max_w = max(im.shape[1] for im in images)
+    chains = [build_mip_chain(im, max(1, mip_levels)) for im in images]
+    flat: List[np.ndarray] = []
+    flat_of: List[Tuple[int, int]] = []   # flat index -> (texture, level)
+    for ti, chain in enumerate(chains):
+        for li, im in enumerate(chain):
+            flat_of.append((ti, li))
+            flat.append(im)
+
+    order = sorted(range(len(flat)), key=lambda i: -flat[i].shape[0])
+    max_w = max(im.shape[1] for im in flat)
     atlas_w = max(max_w, 1 << int(np.ceil(np.log2(max_w))))
 
-    rects: List[Tuple[int, int, int, int]] = [None] * len(images)  # type: ignore
+    frects: List[Tuple[int, int, int, int]] = [None] * len(flat)  # type: ignore
     shelf_y = 0
     shelf_h = 0
     x = 0
     placements = []
     for i in order:
-        h, w = images[i].shape[:2]
+        h, w = flat[i].shape[:2]
         if x + w > atlas_w:
             shelf_y += shelf_h
             shelf_h = 0
             x = 0
         placements.append((i, x, shelf_y))
-        rects[i] = (x, shelf_y, w, h)
+        frects[i] = (x, shelf_y, w, h)
         x += w
         shelf_h = max(shelf_h, h)
     atlas_h = shelf_y + shelf_h
 
     image = np.zeros((atlas_h, atlas_w, 3), np.float32)
     for i, px, py in placements:
-        h, w = images[i].shape[:2]
-        image[py:py + h, px:px + w] = images[i]
-    return Atlas(image=image, rects=np.asarray(rects, np.int32))
+        h, w = flat[i].shape[:2]
+        image[py:py + h, px:px + w] = flat[i]
+
+    k = len(images)
+    level_count = max(len(c) for c in chains)
+    rects = np.zeros((k, 4), np.int32)
+    mip_rects = np.zeros((k, level_count, 4), np.int32)
+    for fi, (ti, li) in enumerate(flat_of):
+        if li == 0:
+            rects[ti] = frects[fi]
+        mip_rects[ti, li:] = frects[fi]    # short chains repeat last level
+    if mip_levels <= 1:
+        return Atlas(image=image, rects=rects)
+    return Atlas(image=image, rects=rects, mip_rects=mip_rects)
 
 
-def build_atlas_for_materials(materials) -> Tuple[Optional[Atlas], np.ndarray]:
+def build_atlas_for_materials(materials, mip_levels: int = 1
+                              ) -> Tuple[Optional[Atlas], np.ndarray]:
     """Load every material's texture and pack an atlas.
 
     materials: sequence of MaterialDef.  Returns (atlas or None,
-    tex_index [M] int32 with -1 for untextured/undecodable)."""
+    tex_index [M] int32 with -1 for untextured/undecodable).
+    ``mip_levels > 1`` packs box-filtered mip chains for trilinear
+    minification (ops/texture.sample_atlas with lod)."""
     images: List[np.ndarray] = []
     index = np.full(len(materials), -1, np.int32)
     seen: Dict[str, int] = {}
@@ -111,4 +164,4 @@ def build_atlas_for_materials(materials) -> Tuple[Optional[Atlas], np.ndarray]:
         images.append(img)
     if not images:
         return None, index
-    return pack_atlas(images), index
+    return pack_atlas(images, mip_levels=mip_levels), index

@@ -156,3 +156,123 @@ def test_union_scene_spheres_plus_mesh():
                             RenderConfig(max_depth=2, rr_bounces=0),
                             jax.random.key(0))
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_mip_chain_and_trilinear_sampling():
+    """Mip parity with the reference's glGenerateMipmap +
+    GL_LINEAR_MIPMAP_LINEAR sampler (gpu_texture.h:39-53): box-filtered
+    chain, per-level rects, trilinear blend between levels."""
+    import numpy as np
+
+    from srt_tpu.utils.atlas import build_mip_chain
+
+    # 4x4 checkerboard: level 1 is the 2x2 average = flat 0.5.
+    img = np.zeros((4, 4, 3), np.float32)
+    img[::2, 1::2] = 1.0
+    img[1::2, ::2] = 1.0
+    chain = build_mip_chain(img, 3)
+    assert [c.shape[:2] for c in chain] == [(4, 4), (2, 2), (1, 1)]
+    np.testing.assert_allclose(chain[1], 0.5)
+    np.testing.assert_allclose(chain[2], 0.5)
+
+    solid = np.full((4, 4, 3), 0.25, np.float32)
+    atlas = pack_atlas([img, solid], mip_levels=3)
+    assert atlas.mip_rects.shape == (2, 3, 4)
+    a = jnp.asarray(atlas.image)
+    r = jnp.asarray(atlas.rects)
+    mr = jnp.asarray(atlas.mip_rects)
+    uv = jnp.asarray([[0.5, 0.5]] * 3, jnp.float32)
+    idx = jnp.asarray([0, 0, 0])
+
+    # lod 0 == base bilinear; lod 1 == flat grey; lod 0.5 blends halfway.
+    base = sample_atlas(a, r, idx, uv)
+    l0 = sample_atlas(a, r, idx, uv, mip_rects=mr, lod=jnp.zeros(3))
+    l1 = sample_atlas(a, r, idx, uv, mip_rects=mr, lod=jnp.ones(3))
+    lh = sample_atlas(a, r, idx, uv, mip_rects=mr, lod=jnp.full(3, 0.5))
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(base), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l1), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lh),
+                               0.5 * (np.asarray(base) + 0.5), atol=1e-6)
+    # lod clamps to the last level.
+    l9 = sample_atlas(a, r, idx, uv, mip_rects=mr, lod=jnp.full(3, 9.0))
+    np.testing.assert_allclose(np.asarray(l9), 0.5, atol=1e-6)
+
+
+def test_mip_lod_in_mesh_render_changes_minified_albedo():
+    """A textured mesh scene with mip_lod_scale uses distance-based LOD;
+    far hits sample coarser (averaged) levels."""
+    import numpy as np
+
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.utils import procgen
+    from srt_tpu.utils.flatten import flatten_models
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[::2, 1::2] = 1.0
+    img[1::2, ::2] = 1.0
+    atlas = pack_atlas([img], mip_levels=4)
+
+    mesh = procgen.uv_sphere(8, 12, radius=1.0)  # real spherical UVs
+    flat = flatten_models([mesh])
+    flat.mat_use_texture[:] = True
+    flat.mat_tex_index[:] = 0
+    kw = dict(atlas=atlas.image, atlas_rects=atlas.rects,
+              atlas_mip_rects=atlas.mip_rects)
+    near = mesh_mod.upload(flat, mip_lod_scale=0.0, **kw)
+    far = mesh_mod.upload(flat, mip_lod_scale=100.0, **kw)
+
+    xs = np.linspace(-0.6, 0.6, 16, dtype=np.float32)
+    o = jnp.asarray(np.stack([xs, xs * 0.7, np.full(16, 5.0, np.float32)]))
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 16, jnp.float32).T
+    tm = jnp.full((16,), jnp.inf)
+    rec_near = mesh_mod.mesh_hit_fn(near)(o, d, 1e-3, tm)
+    rec_far = mesh_mod.mesh_hit_fn(far)(o, d, 1e-3, tm)
+    assert bool(rec_near.hit.all()) and bool(rec_far.hit.all())
+    # Huge lod scale drives sampling to the 1x1 level: flat 0.5 albedo.
+    np.testing.assert_allclose(np.asarray(rec_far.mat.albedo), 0.5, atol=1e-5)
+    # Base level across the checker face is not flat everywhere.
+    assert np.abs(np.asarray(rec_near.mat.albedo) - 0.5).max() > 0.05
+
+
+def test_legacy_brdf_tail():
+    """Legacy sampler set (brdf.glsl:290-386) parity checks: cosine pdf,
+    hemisphere-correct sample directions, per-lobe evaluator selection."""
+    import numpy as np
+
+    from srt_tpu.ops import brdf, vec
+    from srt_tpu.scene import Materials
+
+    n = 256
+    rng = np.random.default_rng(4)
+    normal = vec.normalize(jnp.asarray(rng.normal(size=(3, n)), jnp.float32))
+    in_dir = vec.normalize(jnp.asarray(rng.normal(size=(3, n)), jnp.float32))
+    mat = Materials(
+        albedo=jnp.asarray(rng.uniform(0.2, 0.9, (3, n)), jnp.float32),
+        specular=jnp.asarray(rng.uniform(0.0, 0.2, (3, n)), jnp.float32),
+        roughness=jnp.asarray(rng.uniform(0.1, 0.9, n), jnp.float32),
+        metalness=jnp.full((n,), 0.1, jnp.float32),
+        use_spec=jnp.ones((n,), bool),
+    )
+    u = lambda s: jnp.asarray(np.random.default_rng(s).uniform(size=n),
+                              jnp.float32)
+    d, pdf, is_diff = brdf.legacy_sample_next_ray(
+        jnp.zeros((3, n)), normal, in_dir, mat, u(1), u(2), u(3))
+
+    # Diffuse pdf is exactly cos(theta)/pi of the sampled direction.
+    cos = np.asarray(jnp.sum(normal * d, axis=0))
+    isd = np.asarray(is_diff)
+    np.testing.assert_allclose(np.asarray(pdf)[isd],
+                               np.maximum(cos[isd], 0.0) / np.pi,
+                               rtol=1e-5, atol=1e-6)
+    # Diffuse samples lie in the normal hemisphere.
+    assert (cos[isd] > 0).all()
+    assert np.isfinite(np.asarray(pdf)).all() and (np.asarray(pdf) >= 0).all()
+
+    # Per-lobe evaluator: diffuse lobe returns NdotL * albedo / pi.
+    val = np.asarray(brdf.legacy_brdf(normal, in_dir, d, mat, is_diff))
+    expect_diff = np.asarray(mat.albedo) * np.maximum(cos, 0.0) / np.pi
+    np.testing.assert_allclose(val[:, isd], expect_diff[:, isd],
+                               rtol=1e-5, atol=1e-6)
+    # Specular lobe: finite, nonnegative, and NOT the diffuse value.
+    sp = ~isd
+    assert np.isfinite(val[:, sp]).all() and (val[:, sp] >= 0).all()

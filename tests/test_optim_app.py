@@ -103,3 +103,54 @@ def test_render_session_accumulates_and_resets():
     # Reset pose ('R' key analog).
     session.reset_camera()
     assert session.camera.position == (0.0, 1.0, 4.0)
+
+
+def test_render_state_validation_and_healing():
+    """ValidateRenderState analog (utils/validate.py): detects non-finite
+    accumulation texels and heals them; healthy state reports ok."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.utils.validate import (heal_accumulation,
+                                        validate_render_state)
+
+    frame = jnp.ones((4, 4, 3), jnp.float32) * 0.5
+    accum = jnp.ones((4, 4, 3), jnp.float32)
+    rep = validate_render_state(frame, accum)
+    assert rep.ok
+
+    bad = accum.at[1, 2, 0].set(jnp.nan).at[0, 0, 1].set(-1.0)
+    rep = validate_render_state(frame, bad)
+    assert not rep.ok
+    assert rep.nonfinite_accum == 1 and rep.negative_accum == 1
+    healed, n = heal_accumulation(bad, 3)
+    assert n == 2
+    assert np.isfinite(np.asarray(healed)).all()
+    assert (np.asarray(healed) >= 0).all()
+
+
+def test_session_metrics_and_validation_hook():
+    """RenderSession emits structured per-frame metrics and runs the
+    validator on schedule."""
+    import numpy as np
+
+    from srt_tpu.app import RenderSession
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+    logs = []
+    session = RenderSession(
+        pathtracer.spheres_hit_fn(default_sphere_scene()),
+        sphere_scene_lights(),
+        CameraConfig(width=16, height=12),
+        RenderConfig(max_depth=2, rr_bounces=0),
+        validate_every=2, log_fn=logs.append,
+    )
+    session.run(4)
+    assert session.metrics["frames"] == 4
+    assert session.metrics["avg_frame_ms"] > 0
+    assert len(logs) == 4 and logs[-1]["frame"] == 4
+    assert session.metrics["last_report"] is not None
+    assert session.metrics["last_report"].ok
+    assert session.metrics["healed_texels"] == 0

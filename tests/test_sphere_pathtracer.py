@@ -111,3 +111,32 @@ def test_render_deterministic():
     a = pathtracer.render_spheres(spheres, lights, cam, cfg, jax.random.key(3))
     b = pathtracer.render_spheres(spheres, lights, cam, cfg, jax.random.key(3))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sort_bounces_is_bit_identical():
+    """Wavefront re-sorting between bounces (RenderConfig.sort_bounces) is
+    a pure performance transform: every pixel consumes the same uniforms
+    and the scattered-back image is bit-identical."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import pathtracer
+    from srt_tpu.ops import rng as rng_ops
+    from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+    cam = CameraConfig(width=16, height=12)
+    cfg = RenderConfig(max_depth=3, rr_bounces=1)
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+    n = cam.width * cam.height
+    n_slots = rng_ops.total_slots(lights.count, cfg.max_depth + cfg.rr_bounces)
+    uniforms = jnp.asarray(rng_ops.host_uniforms(21, n, n_slots))
+
+    hit = pathtracer.spheres_hit_fn(spheres)
+    base = pathtracer.trace_with_uniforms(hit, lights, cam, cfg, uniforms)
+    sorted_cfg = dataclasses.replace(cfg, sort_bounces=True)
+    srt = pathtracer.trace_with_uniforms(hit, lights, cam, sorted_cfg, uniforms)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(srt))

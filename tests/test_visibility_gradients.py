@@ -1,0 +1,99 @@
+"""Edge-aware visibility gradients (SURVEY.md hard-part #2): with the
+reparameterized primary silhouette, finite differences of the renderer
+match analytic gradients WITHOUT a decision-stable-pixel mask — the
+silhouette boundary term is captured by the coverage ramp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.models import pathtracer
+from srt_tpu.models.edge_aware import trace_edge_aware
+from srt_tpu.ops import rng as rng_ops
+from srt_tpu.ops.rng import ArrayStream
+from srt_tpu.scene import default_sphere_scene, sphere_scene_lights
+
+CAM = CameraConfig(width=24, height=20, origin=(0, 0, 0), look_at=(0, 0, -1))
+CFG = RenderConfig(max_depth=2, rr_bounces=0)
+
+
+def setup():
+    spheres = default_sphere_scene()
+    lights = sphere_scene_lights()
+    n = CAM.width * CAM.height
+    n_slots = rng_ops.total_slots(lights.count, CFG.max_depth + CFG.rr_bounces)
+    uniforms = rng_ops.host_uniforms(seed=9, n_rays=n, n_slots=n_slots)
+    return spheres, lights, jnp.asarray(uniforms)
+
+
+def render_ea(spheres, lights, uniforms):
+    return trace_edge_aware(spheres, lights, CAM, CFG,
+                            ArrayStream(uniforms), band=1.0)
+
+
+def test_edge_aware_matches_plain_away_from_silhouettes():
+    """The blend only touches silhouette-band pixels; the interior is
+    bit-identical to the reference-semantics renderer."""
+    spheres, lights, uniforms = setup()
+    plain = pathtracer.trace_with_uniforms(
+        pathtracer.spheres_hit_fn(spheres), lights, CAM, CFG, uniforms)
+    ea = render_ea(spheres, lights, uniforms)
+    diff = np.abs(np.asarray(plain) - np.asarray(ea)).max(axis=2)
+    # Most pixels untouched; the touched ones form a thin band.
+    assert (diff == 0.0).mean() > 0.7
+    assert (diff > 0.0).sum() > 10  # the band exists
+
+
+def test_radius_grad_matches_fd_without_mask():
+    """d(mean image)/d(radius) including the silhouette term: FD over the
+    WHOLE image (no stable-pixel mask) matches jax.grad."""
+    spheres, lights, uniforms = setup()
+
+    def loss(dr):
+        s = spheres.replace(radius=spheres.radius.at[3].add(dr))
+        return jnp.mean(render_ea(s, lights, uniforms))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 2e-3
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.isfinite(g)
+    # The boundary term dominates here; a path-space-only gradient misses
+    # most of it (checked below), so agreement is the real signal.
+    assert abs(g - fd) <= 0.1 * max(0.05, abs(fd)), f"analytic {g} vs fd {fd}"
+
+
+def test_center_grad_matches_fd_without_mask():
+    spheres, lights, uniforms = setup()
+
+    def loss(dx):
+        s = spheres.replace(center=spheres.center.at[3, 0].add(dx))
+        return jnp.mean(render_ea(s, lights, uniforms))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 2e-3
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g - fd) <= 0.1 * max(0.05, abs(fd)), f"analytic {g} vs fd {fd}"
+
+
+def test_boundary_term_is_material():
+    """The silhouette term the plain renderer cannot see is a substantial
+    fraction of the radius gradient (i.e. this module adds information,
+    it does not just reproduce path-space gradients)."""
+    spheres, lights, uniforms = setup()
+
+    def loss_plain(dr):
+        s = spheres.replace(radius=spheres.radius.at[3].add(dr))
+        return jnp.mean(pathtracer.trace_with_uniforms(
+            pathtracer.spheres_hit_fn(s), lights, CAM, CFG, uniforms))
+
+    def loss_ea(dr):
+        s = spheres.replace(radius=spheres.radius.at[3].add(dr))
+        return jnp.mean(render_ea(s, lights, uniforms))
+
+    g_plain = float(jax.grad(loss_plain)(jnp.float32(0.0)))
+    g_ea = float(jax.grad(loss_ea)(jnp.float32(0.0)))
+    # At this scene/resolution the interior term dominates the radius
+    # gradient; the boundary term is a small but non-trivial correction.
+    assert abs(g_ea - g_plain) > 0.02 * abs(g_ea)

@@ -65,9 +65,9 @@ f0c = jax.jit(lambda x: x + 1.0)
 print(f"v0c trivial XLA jit:       {timeit(f0c, small)*1e3:7.3f} ms", flush=True)
 
 # --- v1: current occupancy (8 subtiles per program) ---
-from srt_tpu.ops.traversal_pallas import _launch_occupancy
+from srt_tpu.ops.traversal_pallas import _launch_cull
 
-f1 = jax.jit(lambda r: _launch_occupancy(r, bounds, TILE, False))
+f1 = jax.jit(lambda r: _launch_cull(r, bounds, TILE, False))
 print(f"v1 current 8-subtile:      {timeit(f1, rays)*1e3:7.3f} ms", flush=True)
 
 

@@ -82,12 +82,19 @@ def main():
     rays8 = jnp.concatenate(
         [o_m, d_m, jnp.full((1, n), 1e30), jnp.zeros((1, n))], axis=0).T
     nc = scene.cluster_min.shape[0]
-    bounds = jnp.concatenate(
-        [scene.cluster_min.T, scene.cluster_max.T,
-         jnp.zeros((2, nc), jnp.float32)], axis=0)
-    f_occ = jax.jit(lambda r: tp._launch_occupancy(r, bounds, tile, False))
+    s_count = -(-nc // tp.SUPER)
+    c_pad = s_count * tp.SUPER - nc
+    cmin_p = jnp.pad(scene.cluster_min, ((0, c_pad), (0, 0)),
+                     constant_values=tp.BIG)
+    cmax_p = jnp.pad(scene.cluster_max, ((0, c_pad), (0, 0)),
+                     constant_values=-tp.BIG)
+    smin = cmin_p.reshape(s_count, tp.SUPER, 3).min(axis=1)
+    smax = cmax_p.reshape(s_count, tp.SUPER, 3).max(axis=1)
+    sbounds = jnp.concatenate(
+        [smin.T, smax.T, jnp.zeros((2, s_count), jnp.float32)], axis=0)
+    f_occ = jax.jit(lambda r: tp._launch_cull(r, sbounds, tile, False))
     dt = timeit(f_occ, rays8)
-    print(f"occupancy kernel alone:        {dt*1e3:8.2f} ms")
+    print(f"cull kernel alone:             {dt*1e3:8.2f} ms")
 
     # 4. shading-only trace: stub hit fn (no kernel) to isolate integrator
     def stub_hit(o, d, t_min, t_max, any_hit=False):
