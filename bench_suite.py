@@ -171,9 +171,10 @@ def config4_highpoly():
     size = 128 if SMALL else 1024
     cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
                        look_at=(0.0, 0.0, 0.0))
-    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1)
-    lights = model_scene_lights()
     method = "pallas" if jax.default_backend() == "tpu" else "dense"
+    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1,
+                       sort_bounces=(method == "pallas"))
+    lights = model_scene_lights()
 
     from srt_tpu.camera import derive_viewport, generate_rays
     from srt_tpu.ops.rng import KeyStream

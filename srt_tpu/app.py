@@ -116,8 +116,7 @@ class RenderSession:
             report = validate_render_state(sample, self._accum, self.camera)
             self.metrics["last_report"] = report
             if not report.ok:
-                self._accum, healed = heal_accumulation(
-                    self._accum, self.frames_accumulated)
+                self._accum, healed = heal_accumulation(self._accum)
                 self.metrics["healed_texels"] += healed
 
         display = np.asarray(display)

@@ -244,7 +244,8 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             # pixel order, so gather each ray's slots via the position ->
             # pixel map.  Every pixel consumes exactly the same numbers as
             # in unsorted order — the image is bit-identical (tested).
-            u = u[:, pix]
+            # Row-major gather (see the permutation note below).
+            u = u.T[pix].T
         # Dead lanes trace with t_max = 0: compaction-aware intersectors
         # (Pallas cluster kernel) then skip their tiles outright.
         rec = closest_hit(
@@ -344,14 +345,22 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         if cfg.sort_bounces:
             # Re-pack the wavefront for the next bounce (see
             # _bounce_sort_keys); one stable u32 argsort per bounce.
+            # The permutation is applied as ONE row gather on a packed
+            # [N, 14] array: lane-axis gathers on the component-first
+            # [3, N] carries cost ~100 ms/bounce at 1M rays on TPU
+            # (measured), row-major gathers ~5 ms.
             order = jnp.argsort(
                 _bounce_sort_keys(origins, dirs, cont), stable=True)
-            origins = origins[:, order]
-            dirs = dirs[:, order]
-            throughput = throughput[:, order]
-            color = color[:, order]
-            cont = cont[order]
-            pix = pix[order]
+            packed = jnp.concatenate([
+                origins, dirs, throughput, color,
+                cont[None].astype(jnp.float32),
+                # pix < 2^24 stays exact in f32.
+                pix[None].astype(jnp.float32),
+            ], axis=0).T[order].T
+            origins, dirs = packed[0:3], packed[3:6]
+            throughput, color = packed[6:9], packed[9:12]
+            cont = packed[12] > 0.5
+            pix = packed[13].astype(jnp.int32)
         return (origins, dirs, throughput, color, cont, pix), stats
 
     init = (

@@ -363,7 +363,10 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
                     parallel = jnp.abs(zd) <= r(12)
                     den = jnp.where(parallel, 1.0, zd)
                     inv = pl.reciprocal(den, approx=True)
-                    inv = inv * (2.0 - den * inv)  # one Newton step
+                    # One Newton step: the approx reciprocal is ~8-bit;
+                    # without refinement the u/v window test rejects true
+                    # edge hits (observed: kernel picks farther winners).
+                    inv = inv * (2.0 - den * inv)
                     t = -zo * inv
                     xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
                     xd = dx * r(0) + dy * r(1) + dz * r(2)
@@ -372,11 +375,14 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
                     yd = dx * r(4) + dy * r(5) + dz * r(6)
                     v = yo + t * yd
 
+                    # Barycentric window as a single min-compare: u, v and
+                    # (1 + 2e) - u - v all >= -e.
+                    m = jnp.minimum(jnp.minimum(u, v),
+                                    (1.0 + 2 * EDGE_EPS) - u - v)
                     valid = (
-                        (~parallel)
+                        (m >= -EDGE_EPS)
+                        & (~parallel)
                         & (t > T_EPS)
-                        & (u >= -EDGE_EPS) & (v >= -EDGE_EPS)
-                        & (u + v <= 1.0 + 2 * EDGE_EPS)
                         & (t < best_t)
                     )
                     bi_ref[:] = jnp.where(valid, base + lane, best_i)
@@ -518,6 +524,18 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
         raise ValueError(
             "scene was uploaded without Pallas tables; use "
             "flatten_models(..., pad_to=128) + upload()"
+        )
+    # The Woop table is VMEM-resident: ~8 KB per 128-triangle cluster on a
+    # 16 MB-VMEM chip leaves ~1,700 clusters (~218k triangles) per model.
+    # Larger scenes need the HBM-streaming variant (ROADMAP) — fail loudly
+    # rather than letting Mosaic emit an opaque allocation error.
+    if scene.woop.shape[0] > 1700:
+        raise ValueError(
+            f"model has {scene.woop.shape[0]} clusters "
+            f"(~{scene.woop.shape[0] * 128} triangles); the VMEM-resident "
+            "Woop table supports ~218k triangles per model. Split the "
+            "model or use method='dense' with ray_tile for now "
+            "(HBM streaming is roadmap)."
         )
     lo = scene.model_first_tri[b]
     count = scene.model_padded_tri_count[b]

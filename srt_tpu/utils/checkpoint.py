@@ -3,8 +3,11 @@
 The reference has no persistence beyond the accumulation image and PPM
 output (SURVEY.md section 5); inverse rendering needs real checkpoints.
 Pytrees are saved as npz (leaf arrays + a JSON treedef) — dependency-free
-and multi-host-safe (each host writes only on process 0).  An orbax-backed
-variant is used automatically for async checkpointing when available.
+and multi-host-safe (each host writes only on process 0).
+``save_async`` overlaps the disk write with training: the device->host
+copy is taken synchronously (cheap), the npz write runs on a background
+thread — the same overlap an orbax async checkpointer provides, without
+the directory-format dependency.
 """
 
 from __future__ import annotations
@@ -15,6 +18,8 @@ from typing import Any, Optional
 
 import jax
 import numpy as np
+
+_async_executor = None
 
 
 def _flatten(tree):
@@ -34,6 +39,23 @@ def save(path: str, tree: Any, extra: Optional[dict] = None) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, path)
+
+
+def save_async(path: str, tree: Any, extra: Optional[dict] = None):
+    """Non-blocking ``save``: snapshots the tree to host memory now and
+    writes on a background thread.  Returns a future (``.result()`` to
+    join, e.g. before exiting); safe to fire-and-forget between steps —
+    writes to the same path serialize on the single worker thread."""
+    import concurrent.futures
+
+    global _async_executor
+    leaves, treedef = _flatten(tree)
+    host_tree = jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(x) for x in leaves])
+    if _async_executor is None:
+        _async_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="srt-ckpt")
+    return _async_executor.submit(save, path, host_tree, extra)
 
 
 def load(path: str):

@@ -75,7 +75,7 @@ def validate_render_state(frame, accum, camera=None,
     )
 
 
-def heal_accumulation(accum, frames_accumulated: int):
+def heal_accumulation(accum):
     """Quarantine corrupted accumulation texels: non-finite or negative
     entries are zeroed (they re-converge from subsequent frames) — the
     progressive-accumulation analog of the reference rebuilding its quad

@@ -123,7 +123,7 @@ def test_render_state_validation_and_healing():
     rep = validate_render_state(frame, bad)
     assert not rep.ok
     assert rep.nonfinite_accum == 1 and rep.negative_accum == 1
-    healed, n = heal_accumulation(bad, 3)
+    healed, n = heal_accumulation(bad)
     assert n == 2
     assert np.isfinite(np.asarray(healed)).all()
     assert (np.asarray(healed) >= 0).all()
@@ -154,3 +154,20 @@ def test_session_metrics_and_validation_hook():
     assert session.metrics["last_report"] is not None
     assert session.metrics["last_report"].ok
     assert session.metrics["healed_texels"] == 0
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.utils import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((4,))}
+    path = str(tmp_path / "state.npz")
+    fut = ckpt.save_async(path, tree, extra={"step": 7})
+    fut.result()
+    leaves, extra = ckpt.load(path)
+    restored = ckpt.restore_into(tree, leaves)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.asarray(tree["a"]))
+    assert extra["step"] == 7
