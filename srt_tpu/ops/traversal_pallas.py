@@ -130,7 +130,7 @@ def build_clusters(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _cull_kernel(rays_ref, sb_ref, clist_ref, elist_ref, counts_ref,
-                 ebuf_ref, *, tile: int, s_count: int):
+                 ebuf_ref, amax_ref, *, tile: int, s_count: int):
     """rays_ref [8*tile, 8] VMEM (ox oy oz dx dy dz t_max pad); sb_ref
     [8, S] VMEM super bounds (rows: min xyz, max xyz, pad, pad); outputs
     clist_ref [8, S] int32 / elist_ref [8, S] f32 (row ``sub`` is tile row
@@ -152,32 +152,40 @@ def _cull_kernel(rays_ref, sb_ref, clist_ref, elist_ref, counts_ref,
         return sb_ref[j:j + 1, :]                     # [1, S]
 
     # Pass 1: per-row super slab tests -> masked entry distances [8, S].
+    # All-dead rows (every t_max == 0: terminated paths packed together by
+    # the integrator's bounce sort) skip the slab work outright — by the
+    # last bounces most rows are dead.
     for sub in range(8):
         rays = rays_ref[sub * tile:(sub + 1) * tile, :]
-        ox = rays[:, 0:1]
-        oy = rays[:, 1:2]
-        oz = rays[:, 2:3]
-        inv_x = 1.0 / rays[:, 3:4]
-        inv_y = 1.0 / rays[:, 4:5]
-        inv_z = 1.0 / rays[:, 5:6]
         t_max = rays[:, 6:7]
+        amax_ref[0, 0] = jnp.max(t_max)
+        ebuf_ref[sub:sub + 1, :] = jnp.full((1, s), BIG, jnp.float32)
 
-        t0x = (r(0) - ox) * inv_x
-        t1x = (r(3) - ox) * inv_x
-        t0y = (r(1) - oy) * inv_y
-        t1y = (r(4) - oy) * inv_y
-        t0z = (r(2) - oz) * inv_z
-        t1z = (r(5) - oz) * inv_z
-        t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-        t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.maximum(t0z, t1z))
-        sel = jnp.where(t_near >= 0.0, t_near, t_far)
-        hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
-        ebuf_ref[sub:sub + 1, :] = jnp.min(
-            jnp.where(hit, sel, BIG), axis=0, keepdims=True)
+        @pl.when(amax_ref[0, 0] > 0.0)
+        def _slab(sub=sub, rays=rays, t_max=t_max):
+            ox = rays[:, 0:1]
+            oy = rays[:, 1:2]
+            oz = rays[:, 2:3]
+            inv_x = 1.0 / rays[:, 3:4]
+            inv_y = 1.0 / rays[:, 4:5]
+            inv_z = 1.0 / rays[:, 5:6]
+
+            t0x = (r(0) - ox) * inv_x
+            t1x = (r(3) - ox) * inv_x
+            t0y = (r(1) - oy) * inv_y
+            t1y = (r(4) - oy) * inv_y
+            t0z = (r(2) - oz) * inv_z
+            t1z = (r(5) - oz) * inv_z
+            t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+            t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                            jnp.maximum(t0y, t1y)),
+                                jnp.maximum(t0z, t1z))
+            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
+            ebuf_ref[sub:sub + 1, :] = jnp.min(
+                jnp.where(hit, sel, BIG), axis=0, keepdims=True)
 
     # Pass 2: rank active supers by entry distance (ties by index), then
     # build the one-hot selection matrix M[c, j] = (rank[c] == j) & occ[c]
@@ -240,7 +248,8 @@ def _launch_cull(rays, sbounds, tile: int, interpret: bool):
             pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((8, s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, s), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
     )(rays, sbounds)
 
