@@ -557,19 +557,41 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     pad = (-n) % (tile * 8)  # n_tiles must be a multiple of the SMEM window
     npad = n + pad
 
+    sg = jax.lax.stop_gradient
+
+    # Root-AABB t-clip: a ray's hits can only lie inside the model's
+    # bounding box, so its traversal window ends at the box-exit distance.
+    # Miss-bound bounce rays (t_max = inf) and shadow rays toward far
+    # lights get tight per-ray bounds, which the cull occupancy, the
+    # per-ray cluster gate, and the shrinking-t gate all exploit; rays
+    # that miss the box entirely become dead lanes (t_max = 0) and their
+    # tiles are skipped outright.  (NaN from an on-boundary origin with an
+    # axis-parallel direction conservatively kills the ray — measure-zero,
+    # same convention as the slab kernels.)
+    root_lo = sg(jnp.min(scene.cluster_min[c_lo:c_lo + n_clusters], axis=0))
+    root_hi = sg(jnp.max(scene.cluster_max[c_lo:c_lo + n_clusters], axis=0))
+    inv_d = 1.0 / sg(d_m)
+    tb0 = (root_lo[:, None] - sg(o_m)) * inv_d
+    tb1 = (root_hi[:, None] - sg(o_m)) * inv_d
+    bt_near = jnp.max(jnp.minimum(tb0, tb1), axis=0)
+    bt_far = jnp.min(jnp.maximum(tb0, tb1), axis=0)
+    t_clip = jnp.where((bt_near <= bt_far) & (bt_far >= 0.0),
+                       bt_far * (1.0 + 1e-4) + 1e-3, 0.0)
+    t_eff = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,)), t_clip)
+
     def padded(x, fill=0.0):
         return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),),
                        constant_values=fill)
 
     o_p = padded(o_m)
     d_p = padded(d_m, 1.0)
-    t_p = padded(jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,)), 0.0)
+    t_p = padded(t_eff, 0.0)
 
     # Assembled component-first ([8, Np], lane-dense) then transposed once
     # into the kernel's [Np, 8] operand layout.  stop_gradient: the kernels
     # are non-differentiable candidate searches; gradients flow through the
     # exact refine of the winner only (see docstring).
-    sg = jax.lax.stop_gradient
     rays8 = sg(jnp.concatenate(
         [o_p, d_p, t_p[None, :], jnp.zeros((1, npad), jnp.float32)], axis=0
     ).T)
