@@ -625,7 +625,18 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     )                                                          # [8, S]
 
     interpret = jax.default_backend() != "tpu"
-    clist, elist, counts = _launch_cull(rays8, sbounds, tile, interpret)
+    if s_count == 1:
+        # Single-super scenes (<= 2,048 triangles): the ordered-list cull
+        # is pure overhead — synthesize the trivial list and let the
+        # intersect kernel's own cluster slab do all the culling.  Dead
+        # tiles still skip via a cheap XLA alive-reduce.
+        n_tiles = npad // tile
+        alive = (rays8[:, 6].reshape(n_tiles, tile).max(axis=1) > 0.0)
+        counts = alive.astype(jnp.int32)[:, None]
+        clist = jnp.zeros((n_tiles, 1), jnp.int32)
+        elist = jnp.zeros((n_tiles, 1), jnp.float32)
+    else:
+        clist, elist, counts = _launch_cull(rays8, sbounds, tile, interpret)
     out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
                            tile, interpret, any_hit=any_hit)
     out_t = out_t[:n, 0]
