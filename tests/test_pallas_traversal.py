@@ -84,3 +84,27 @@ def test_pallas_render_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_any_hit_agrees_with_closest_hit():
+    """The any-hit (shadow) kernel mode must report occlusion exactly
+    where the closest-hit walk finds a hit inside t_max — the early-out
+    may stop at a different (non-closest) hit but never changes hit/miss
+    (``CheckLightOccluded`` parity, raytrace_compute.glsl:167-176)."""
+    from srt_tpu.ops.traversal_pallas import pallas_model_hit
+
+    mesh = procgen.uv_sphere(12, 18)
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    o, d = random_rays(512, seed=11)
+    # Finite t_max like a shadow segment (some hits fall beyond it).
+    t_max = jnp.full((512,), 4.0)
+
+    t_c, i_c, _, _ = pallas_model_hit(scene, 0, o, d, t_max)
+    t_a, i_a, _, _ = pallas_model_hit(scene, 0, o, d, t_max, any_hit=True)
+
+    hit_c = np.asarray(i_c) != -1
+    hit_a = np.asarray(i_a) != -1
+    np.testing.assert_array_equal(hit_c, hit_a)
+    # Any-hit t values are still genuine hits within the segment.
+    ta = np.asarray(t_a)[hit_a]
+    assert (ta > 0).all() and (ta < 4.0 + 1e-3).all()
