@@ -72,13 +72,15 @@ def main():
             # Z-order the wavefront for kernel-tile coherence (ops/morton),
             # gated on the config flag exactly like trace_image_sample;
             # un-permute for a usable image.
-            from srt_tpu.ops.morton import PermutedStream, morton_perm
+            from srt_tpu.ops.morton import (PermutedStream, morton_perm,
+                                            permute_rays, unpermute_image)
             perm, inv = morton_perm(cam.height, cam.width)
+            o_m, d_m = permute_rays(origins, dirs, perm)
             color, stats = pathtracer.trace_wavefront(
-                hit_fn, lights, origins[:, perm], dirs[:, perm],
+                hit_fn, lights, o_m, d_m,
                 PermutedStream(stream, perm), cfg, return_stats=True
             )
-            return color[:, inv], stats
+            return unpermute_image(color, inv), stats
         return pathtracer.trace_wavefront(
             hit_fn, lights, origins, dirs, stream, cfg, return_stats=True
         )
@@ -87,12 +89,14 @@ def main():
     color, stats = runner(jax.random.key(0))
     jax.block_until_ready(color)
 
-    # Steady-state timing.
+    # Steady-state timing.  Block every rep: on the axon tunnel, blocking
+    # only on the last result has (rarely) returned early and produced
+    # absurd readings; per-rep blocking costs nothing at these frame times.
     reps = int(os.environ.get("SRT_BENCH_REPS", "10"))
     t0 = time.perf_counter()
     for i in range(reps):
         color, stats = runner(jax.random.key(i + 1))
-    jax.block_until_ready(color)
+        jax.block_until_ready(color)
     dt = (time.perf_counter() - t0) / reps
 
     rays = int(np.asarray(stats).sum())  # closest-hit + shadow rays, 1 frame

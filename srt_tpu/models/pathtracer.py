@@ -399,13 +399,14 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
     if cfg.morton_order:
         # Z-order the wavefront for tile coherence (ops/morton.py); the
         # stream is permuted identically so the image is bit-identical.
-        from srt_tpu.ops.morton import PermutedStream, morton_perm
+        from srt_tpu.ops.morton import (PermutedStream, morton_perm,
+                                        permute_rays, unpermute_image)
         perm, inv = morton_perm(cam.height, cam.width)
-        origins, dirs = origins[:, perm], dirs[:, perm]
-        radiance = trace_wavefront(
+        origins, dirs = permute_rays(origins, dirs, perm)
+        radiance = unpermute_image(trace_wavefront(
             closest_hit, lights, origins, dirs, PermutedStream(stream, perm),
             cfg,
-        )[:, inv]
+        ), inv)
     else:
         radiance = trace_wavefront(
             closest_hit, lights, origins, dirs, stream, cfg

@@ -79,3 +79,19 @@ class PermutedStream:
             f"PermutedStream forwards only take(); draw method {name!r} "
             "would bypass the ray permutation (ops/morton.py)"
         )
+
+
+def permute_rays(origins, dirs, perm):
+    """Apply a ray permutation to [3, N] origin/direction pairs via ONE
+    row-major gather on a packed [N, 6] array — gathers along the lane
+    axis of component-first arrays cost ~100 ms per 1M rays on TPU."""
+    import jax.numpy as jnp
+
+    packed = jnp.concatenate([origins, dirs], axis=0).T[perm].T
+    return packed[0:3], packed[3:6]
+
+
+def unpermute_image(radiance, inv):
+    """Inverse-permute [3, N] radiance back to pixel order (row-major
+    gather; see permute_rays)."""
+    return radiance.T[inv].T
