@@ -67,6 +67,7 @@ class MeshScene:
     tri_mat: jnp.ndarray      # [T] int32
     mat_diffuse: jnp.ndarray  # [M, 3]
     mat_specular: jnp.ndarray  # [M, 3]
+    mat_emissive: jnp.ndarray  # [M, 3] (Ke; zero = non-emitter)
     mat_specular_ex: jnp.ndarray  # [M]
     mat_use_texture: jnp.ndarray  # [M] bool
     mat_tex_index: jnp.ndarray    # [M] int32
@@ -152,6 +153,7 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None,
         tri_mat=jnp.asarray(scene.tri_mat),
         mat_diffuse=jnp.asarray(scene.mat_diffuse),
         mat_specular=jnp.asarray(scene.mat_specular),
+        mat_emissive=jnp.asarray(scene.mat_emissive),
         mat_specular_ex=jnp.asarray(scene.mat_specular_ex),
         mat_use_texture=jnp.asarray(scene.mat_use_texture),
         mat_tex_index=jnp.asarray(scene.mat_tex_index),
@@ -422,7 +424,8 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
     Row gathers on TPU cost milliseconds per 256k indices (ops/gather.py),
     so the post-hit pass does ONE ``record[idx]`` gather instead of ~12
     separate vertex/uv/material gathers.  Layout: v0 v1 v2 (9), uv0 uv1 uv2
-    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1).  Built from the
+    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1), Ke (3).  Built
+    from the
     scene's differentiable arrays inside the trace, so material/vertex
     gradients flow through the packing; the per-triangle material expansion
     is a [T]-sized gather (trivial).
@@ -435,12 +438,13 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
         scene.mat_specular_ex[m][:, None],
         scene.mat_use_texture[m][:, None].astype(jnp.float32),
         scene.mat_tex_index[m][:, None].astype(jnp.float32),
+        scene.mat_emissive[m],
     ], axis=1)
 
 
 def _record_material(scene: MeshScene, rec_t, u, v, t=None) -> Materials:
     """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
-    packed per-triangle record (component-first [24, N]) — no per-ray
+    packed per-triangle record (component-first [27, N]) — no per-ray
     table gathers."""
     albedo = rec_t[15:18]
     if scene.atlas is not None:
@@ -547,7 +551,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         # --- Shared post-pass: ONE packed-record gather for the winner,
         # transposed once into the component-first layout ---
         idx = jnp.maximum(best_i, 0)
-        rec_t = _tri_record(scene)[idx].T                   # [24, N]
+        rec_t = _tri_record(scene)[idx].T                   # [27, N]
         v0, v1, v2 = rec_t[0:3], rec_t[3:6], rec_t[6:9]
         e1 = v1 - v0
         e2 = v2 - v0
@@ -601,7 +605,12 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             normal = jnp.where(facing[None, :], normal, -normal)
 
         mat = _record_material(scene, rec_t, best_u, best_v, t=t_safe)
-        return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat)
+        # Emission (Ke) rides the Hit record; the integrator credits
+        # throughput * Ke on hit — mesh area emitters, a capability the
+        # reference parses but never uses (model_loader.cpp:240-273).
+        emitted = jnp.where(hit[None, :], rec_t[24:27], 0.0)
+        return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat,
+                   emitted=emitted)
 
     if ray_tile <= 0:
         return hit_tile

@@ -55,6 +55,10 @@ class Hit:
     p: jnp.ndarray        # [3, N]
     normal: jnp.ndarray   # [3, N] unit, facing the ray
     mat: Materials        # per-ray gathered material (albedo [3, N], ...)
+    # Optional emitted radiance [3, N] (mesh Ke materials); None when the
+    # scene has no emission concept (spheres, stubs) — the integrator
+    # credits throughput * emitted on hit when present.
+    emitted: jnp.ndarray = None
 
 
 HitFn = Callable[[jnp.ndarray, jnp.ndarray, float, jnp.ndarray], Hit]
@@ -138,12 +142,23 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
                 # Vectors are [3, N] (mask broadcasts on axis 0); scalars [N].
                 return jnp.where(m[None, :] if a.ndim > m.ndim else m, a, b)
 
+            # Emission: treat a missing field as zeros when the other
+            # branch carries one (heterogeneous sphere + mesh scenes).
+            if rec.emitted is None and best.emitted is None:
+                emitted = None
+            else:
+                e_new = rec.emitted if rec.emitted is not None \
+                    else jnp.zeros_like(best.emitted)
+                e_old = best.emitted if best.emitted is not None \
+                    else jnp.zeros_like(rec.emitted)
+                emitted = sel(e_new, e_old)
             best = Hit(
                 hit=best.hit | rec.hit,
                 t=jnp.where(closer, rec.t, best.t),
                 p=sel(rec.p, best.p),
                 normal=sel(rec.normal, best.normal),
                 mat=jax.tree_util.tree_map(sel, rec.mat, best.mat),
+                emitted=emitted,
             )
         return best
 
@@ -252,6 +267,12 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0)
         )
         active = alive & rec.hit
+
+        # Emissive surfaces contribute directly (mesh Ke materials; the
+        # reference parses Ke but never shades it, model_loader.cpp:240).
+        if rec.emitted is not None:
+            color = color + jnp.where(bc(active), throughput * rec.emitted,
+                                      0.0)
 
         # Paths that miss exit with sky * throughput
         # (raytrace_compute.glsl:287-292).

@@ -56,6 +56,7 @@ class FlatScene:
     # materials (``GPUMaterial``, gpu_loader.cpp:26-34)
     mat_diffuse: np.ndarray       # [M, 3]
     mat_specular: np.ndarray      # [M, 3]
+    mat_emissive: np.ndarray      # [M, 3] (Ke; zero = non-emitter)
     mat_specular_ex: np.ndarray   # [M]
     mat_use_texture: np.ndarray   # [M] bool
     mat_tex_index: np.ndarray     # [M] int32 into the atlas (-1 = none)
@@ -97,7 +98,7 @@ def flatten_models(
     nmin, nmax, nfirst, ncount = [], [], [], []
     tv0, tv1, tv2, u0, u1, u2, tmat, tvidx = [], [], [], [], [], [], [], []
     positions = []
-    md, ms, mex, mut, mti = [], [], [], [], []
+    md, ms, mem, mex, mut, mti = [], [], [], [], [], []
 
     node_off = 0
     tri_off = 0
@@ -153,6 +154,7 @@ def flatten_models(
         for m in mesh.materials:
             md.append(m.diffuse)
             ms.append(m.specular)
+            mem.append(getattr(m, "emissive", (0.0, 0.0, 0.0)))
             mex.append(m.specular_ex)
             mut.append(bool(m.use_texture))
             mti.append(-1)
@@ -188,6 +190,7 @@ def flatten_models(
         positions=np.concatenate(positions).astype(np.float32),
         mat_diffuse=np.asarray(md, np.float32).reshape(-1, 3),
         mat_specular=np.asarray(ms, np.float32).reshape(-1, 3),
+        mat_emissive=np.asarray(mem, np.float32).reshape(-1, 3),
         mat_specular_ex=np.asarray(mex, np.float32).reshape(-1),
         mat_use_texture=np.asarray(mut, bool).reshape(-1),
         mat_tex_index=np.asarray(mti, np.int32).reshape(-1),

@@ -7,7 +7,7 @@ Python re-implementation of the reference's C++ asset layer
   quads split into (0,1,2) + (0,2,3) (model_loader.cpp:110-142); indices are
   1-based in the file (negative indices also supported here); lines are
   CRLF-trimmed (:51-52); sub-geometry per ``usemtl`` run (:144-153).
-* MTL: ``newmtl/Kd/Ks/Ns/map_Kd`` parsed; ``Ka/Tf/Ni/Ke/d/illum/Tr/map_Ka``
+* MTL: ``newmtl/Kd/Ks/Ns/Ke/map_Kd`` parsed; ``Ka/Tf/Ni/d/illum/Tr/map_Ka``
   recognized and ignored (model_loader.cpp:179-278).  The reference's
   ineffective duplicate-material skip (``skip_mtl`` reset every line,
   :200-219) is fixed: later duplicates are actually skipped.
@@ -39,6 +39,9 @@ class MaterialDef:
     specular_ex: float = 0.0
     use_texture: bool = False
     texture_path: Optional[str] = None
+    # The reference recognizes Ke but drops it (model_loader.cpp:240-273);
+    # here emissive materials are first-class (mesh area emitters).
+    emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass
@@ -190,7 +193,11 @@ def parse_mtl(path: str, materials: Dict[str, MaterialDef]) -> None:
             elif prefix == "map_Kd" and len(parts) >= 2:
                 current.use_texture = True
                 current.texture_path = os.path.join(folder, parts[-1])
-            # Ka/Tf/Ni/Ke/d/illum/Tr/map_Ka recognized but ignored.
+            elif prefix == "Ke" and len(parts) >= 4:
+                current.emissive = (float(parts[1]), float(parts[2]),
+                                    float(parts[3]))
+            # Ka/Tf/Ni/d/illum/Tr/map_Ka recognized but ignored (as in the
+            # reference, model_loader.cpp:240-273).
 
 
 def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
