@@ -65,6 +65,9 @@ class MeshScene:
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     tri_mat: jnp.ndarray      # [T] int32
+    tri_n0: jnp.ndarray       # [T, 3] shading normals (zero rows fall
+    tri_n1: jnp.ndarray       #        back to the geometric normal)
+    tri_n2: jnp.ndarray
     mat_diffuse: jnp.ndarray  # [M, 3]
     mat_specular: jnp.ndarray  # [M, 3]
     mat_emissive: jnp.ndarray  # [M, 3] (Ke; zero = non-emitter)
@@ -151,6 +154,9 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None,
         uv1=jnp.asarray(scene.uv1),
         uv2=jnp.asarray(scene.uv2),
         tri_mat=jnp.asarray(scene.tri_mat),
+        tri_n0=jnp.asarray(scene.tri_n0),
+        tri_n1=jnp.asarray(scene.tri_n1),
+        tri_n2=jnp.asarray(scene.tri_n2),
         mat_diffuse=jnp.asarray(scene.mat_diffuse),
         mat_specular=jnp.asarray(scene.mat_specular),
         mat_emissive=jnp.asarray(scene.mat_emissive),
@@ -424,8 +430,8 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
     Row gathers on TPU cost milliseconds per 256k indices (ops/gather.py),
     so the post-hit pass does ONE ``record[idx]`` gather instead of ~12
     separate vertex/uv/material gathers.  Layout: v0 v1 v2 (9), uv0 uv1 uv2
-    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1), Ke (3).  Built
-    from the
+    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1), Ke (3),
+    shading normals n0 n1 n2 (9, zero = geometric).  Built from the
     scene's differentiable arrays inside the trace, so material/vertex
     gradients flow through the packing; the per-triangle material expansion
     is a [T]-sized gather (trivial).
@@ -439,6 +445,7 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
         scene.mat_use_texture[m][:, None].astype(jnp.float32),
         scene.mat_tex_index[m][:, None].astype(jnp.float32),
         scene.mat_emissive[m],
+        scene.tri_n0, scene.tri_n1, scene.tri_n2,
     ], axis=1)
 
 
@@ -556,30 +563,21 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         e1 = v1 - v0
         e2 = v2 - v0
 
-        # Geometric normal in model space (the reference leaves it in model
-        # space, raytrace_compute.glsl:157; see RenderConfig).
-        n_model = vec.normalize(vec.cross(e1, e2))
-
-        # Winning model's ray transform + normal-to-world (frames table is
-        # tiny: per-model transforms selected by where-chain, no [N, 4, 4]
-        # gather ever materializes).
+        # Winning model's ray transform (frames table is tiny: per-model
+        # transforms selected by where-chain, no [N, 4, 4] gather ever
+        # materializes).
         if scene.num_models == 1:
-            rot = scene.frames[0][:3, :3]
             o_m, d_m = transform_rays(scene.frames[0], origins, dirs)
-            normal = rot.T @ n_model
         else:
-            o_m = d_m = normal = None
+            o_m = d_m = None
             for b in range(scene.num_models):
                 o_b, d_b = transform_rays(scene.frames[b], origins, dirs)
-                n_b = scene.frames[b][:3, :3].T @ n_model
                 if o_m is None:
-                    o_m, d_m, normal = o_b, d_b, n_b
+                    o_m, d_m = o_b, d_b
                 else:
                     m = (best_b == b)[None, :]
                     o_m = jnp.where(m, o_b, o_m)
                     d_m = jnp.where(m, d_b, d_m)
-                    normal = jnp.where(m, n_b, normal)
-        normal = vec.normalize(normal)
 
         if method == "pallas":
             # Exact Moller-Trumbore refine of the kernel's winner so
@@ -596,6 +594,36 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             best_t = jnp.where(hit, t_r, best_t)
             best_u = jnp.where(hit, u_r, 0.0)
             best_v = jnp.where(hit, v_r, 0.0)
+
+        # Shading normal in model space: barycentric interpolation of the
+        # per-corner normals when present (smooth shading; the reference
+        # parses vn and discards it, model_loader.cpp:296-331), falling
+        # back to the geometric normal wherever the interpolated vector is
+        # ~zero (vn-less meshes, padding).  Reference normal convention:
+        # model space, raytrace_compute.glsl:157; see RenderConfig.
+        n_geom = vec.normalize(vec.cross(e1, e2))
+        n_sm = (
+            (1.0 - best_u - best_v)[None, :] * rec_t[27:30]
+            + best_u[None, :] * rec_t[30:33]
+            + best_v[None, :] * rec_t[33:36]
+        )
+        sm_len2 = jnp.sum(n_sm * n_sm, axis=0)
+        use_sm = sm_len2 > 1e-12
+        inv_sm = jax.lax.rsqrt(jnp.where(use_sm, sm_len2, 1.0))
+        n_model = jnp.where(use_sm[None, :], n_sm * inv_sm[None, :], n_geom)
+
+        # Normal to world via the transpose of world->model.
+        if scene.num_models == 1:
+            normal = scene.frames[0][:3, :3].T @ n_model
+        else:
+            normal = None
+            for b in range(scene.num_models):
+                n_b = scene.frames[b][:3, :3].T @ n_model
+                if normal is None:
+                    normal = n_b
+                else:
+                    normal = jnp.where((best_b == b)[None, :], n_b, normal)
+        normal = vec.normalize(normal)
 
         t_safe = jnp.where(hit, best_t, 1.0)
         p = origins + t_safe[None, :] * dirs

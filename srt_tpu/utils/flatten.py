@@ -51,6 +51,9 @@ class FlatScene:
     uv1: np.ndarray
     uv2: np.ndarray
     tri_mat: np.ndarray           # [T] int32
+    tri_n0: np.ndarray            # [T, 3] shading normals (zero = use
+    tri_n1: np.ndarray            #        the geometric normal)
+    tri_n2: np.ndarray
     tri_vidx: np.ndarray          # [T, 3] int32 into the packed vertex buffer
     positions: np.ndarray         # [V, 3] packed vertex buffer (for grads)
     # materials (``GPUMaterial``, gpu_loader.cpp:26-34)
@@ -97,6 +100,7 @@ def flatten_models(
     first_nodes, node_counts, first_tris, tri_counts, frame_list = [], [], [], [], []
     nmin, nmax, nfirst, ncount = [], [], [], []
     tv0, tv1, tv2, u0, u1, u2, tmat, tvidx = [], [], [], [], [], [], [], []
+    tn0, tn1, tn2 = [], [], []
     positions = []
     md, ms, mem, mex, mut, mti = [], [], [], [], [], []
 
@@ -146,6 +150,12 @@ def flatten_models(
         u0.append(padded(mesh.uvs[vidx[:, 0]], (2,)))
         u1.append(padded(mesh.uvs[vidx[:, 1]], (2,)))
         u2.append(padded(mesh.uvs[vidx[:, 2]], (2,)))
+        nsrc = getattr(mesh, "normals", None)
+        if nsrc is None:
+            nsrc = np.zeros_like(mesh.positions)
+        tn0.append(padded(nsrc[vidx[:, 0]], (3,)))
+        tn1.append(padded(nsrc[vidx[:, 1]], (3,)))
+        tn2.append(padded(nsrc[vidx[:, 2]], (3,)))
         tmat.append(padded(mesh.tri_mat[order].astype(np.int64) + mat_off,
                            (), 0, np.int32))
         tvidx.append(padded(vidx.astype(np.int64) + vert_off, (3,), 0, np.int32))
@@ -186,6 +196,9 @@ def flatten_models(
         uv1=cat(u1, (2,)),
         uv2=cat(u2, (2,)),
         tri_mat=cat(tmat, (), 0, np.int32),
+        tri_n0=cat(tn0, (3,)),
+        tri_n1=cat(tn1, (3,)),
+        tri_n2=cat(tn2, (3,)),
         tri_vidx=cat(tvidx, (3,), 0, np.int32),
         positions=np.concatenate(positions).astype(np.float32),
         mat_diffuse=np.asarray(md, np.float32).reshape(-1, 3),

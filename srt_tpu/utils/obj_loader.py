@@ -62,6 +62,11 @@ class MeshData:
     tri_mat: np.ndarray
     materials: List[MaterialDef]
     name: str = "mesh"
+    # Optional per-corner shading normals ([V, 3], unit or zero).  The
+    # reference parses ``vn`` and discards it (model_loader.cpp:296-331
+    # packs pos+uv only); here they enable smooth shading — zero rows fall
+    # back to the geometric normal per hit.
+    normals: Optional[np.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -200,6 +205,33 @@ def parse_mtl(path: str, materials: Dict[str, MaterialDef]) -> None:
             # reference, model_loader.cpp:240-273).
 
 
+def compute_vertex_normals(mesh: MeshData) -> MeshData:
+    """Area-weighted smooth vertex normals for a mesh without ``vn``.
+
+    Corners are duplicated per face (model_loader.cpp:296-331 layout), so
+    coincident positions are re-identified by exact coordinate match and
+    face normals (cross-product, area-weighted) are accumulated over each
+    shared position.  Returns a new MeshData with ``normals`` set —
+    opt-in smooth shading for procedural/vn-less assets."""
+    import dataclasses as _dc
+
+    p = mesh.positions
+    vidx = mesh.tri_vidx.astype(np.int64)
+    fn = np.cross(p[vidx[:, 1]] - p[vidx[:, 0]],
+                  p[vidx[:, 2]] - p[vidx[:, 0]])        # area-weighted
+    # Group duplicated corners by exact position.
+    _, group = np.unique(np.asarray(p, np.float32), axis=0,
+                         return_inverse=True)
+    group = group.ravel()
+    acc = np.zeros((group.max() + 1, 3), np.float64)
+    for c in range(3):
+        np.add.at(acc, group[vidx[:, c]], fn)
+    n = acc[group]
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    n = np.where(ln > 1e-12, n / np.maximum(ln, 1e-12), 0.0)
+    return _dc.replace(mesh, normals=n.astype(np.float32))
+
+
 def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
     """Load an OBJ + its MTL libraries into a packed MeshData
     (``AssetUtils::LoadObject``, model_loader.cpp:20-32 +
@@ -217,7 +249,7 @@ def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
         mesh = load_object_native(obj_path)
         if mesh is not None:
             return mesh
-    vertices, texcoords, _normals, sub_geos, mtl_files = parse_obj(obj_path)
+    vertices, texcoords, normals_in, sub_geos, mtl_files = parse_obj(obj_path)
 
     folder = os.path.dirname(obj_path)
     materials: Dict[str, MaterialDef] = {}
@@ -232,17 +264,24 @@ def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
 
     positions: List[np.ndarray] = []
     uvs: List[Tuple[float, float]] = []
+    nrm: List[Tuple[float, float, float]] = []
     tri_vidx: List[Tuple[int, int, int]] = []
     tri_mat: List[int] = []
+    any_vn = False
 
     for mat_name, faces in sub_geos:
         midx = mat_index.get(mat_name, 0)
         for face in faces:
             corner_ids = []
-            for (v, vt, _vn) in face:
+            for (v, vt, vn) in face:
                 corner_ids.append(len(positions))
                 positions.append(vertices[v])
                 uvs.append(tuple(texcoords[vt]) if vt is not None else (0.0, 0.0))
+                if vn is not None:
+                    nrm.append(tuple(normals_in[vn]))
+                    any_vn = True
+                else:
+                    nrm.append((0.0, 0.0, 0.0))
             tri_vidx.append(tuple(corner_ids))
             tri_mat.append(midx)
 
@@ -253,4 +292,6 @@ def load_object(obj_path: str, use_native: str = "auto") -> MeshData:
         tri_mat=np.asarray(tri_mat, np.uint32),
         materials=mat_list,
         name=os.path.splitext(os.path.basename(obj_path))[0],
+        normals=(np.asarray(nrm, np.float32).reshape(-1, 3)
+                 if any_vn else None),
     )

@@ -173,3 +173,39 @@ def test_multi_model_scene():
     assert np.asarray(rec.hit).all()
     # Closest is the front face of the origin cube at z=0.5 -> t=4.5.
     np.testing.assert_allclose(np.asarray(rec.t), 4.5, rtol=1e-5)
+
+
+def test_smooth_vertex_normals():
+    """Smooth shading: per-corner normals (vn or computed) interpolate to
+    near-analytic sphere normals at hit points; meshes without normals
+    keep the geometric (faceted) normal — the reference's only behavior
+    (it parses vn then packs pos+uv only, model_loader.cpp:296-331)."""
+    from srt_tpu.utils.obj_loader import compute_vertex_normals
+
+    mesh = procgen.uv_sphere(24, 36, radius=1.0)
+    smooth = compute_vertex_normals(mesh)
+    assert smooth.normals is not None
+    # Computed vertex normals of a sphere are radial.
+    ln = np.linalg.norm(smooth.normals, axis=1)
+    radial = np.abs(np.sum(smooth.normals * mesh.positions, axis=1))
+    good = ln > 0.5
+    assert (radial[good] > 0.98).all()
+
+    o = jnp.asarray([[0.1, 0.2, 5.0], [-0.4, 0.3, 5.0]], jnp.float32).T
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32).T
+    tm = jnp.full((2,), jnp.inf)
+
+    flat_scene = mesh_mod.upload(flatten_models([mesh]))
+    sm_scene = mesh_mod.upload(flatten_models([smooth]))
+    rec_f = mesh_mod.mesh_hit_fn(flat_scene)(o, d, 1e-3, tm)
+    rec_s = mesh_mod.mesh_hit_fn(sm_scene)(o, d, 1e-3, tm)
+    assert bool(rec_f.hit.all()) and bool(rec_s.hit.all())
+
+    # Smooth normals align with the true sphere normal at the hit point.
+    p = np.asarray(rec_s.p)
+    true_n = p / np.linalg.norm(p, axis=0, keepdims=True)
+    cos_s = np.sum(np.asarray(rec_s.normal) * true_n, axis=0)
+    cos_f = np.sum(np.asarray(rec_f.normal) * true_n, axis=0)
+    assert (cos_s > 0.999).all()
+    # Flat shading is measurably less aligned (faceting).
+    assert (cos_s >= cos_f - 1e-6).all() and cos_f.min() < 0.9999
