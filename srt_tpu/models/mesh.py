@@ -199,6 +199,10 @@ def with_positions(scene: MeshScene, positions) -> MeshScene:
     *uploaded* geometry; within one gradient evaluation they agree with
     ``positions``, but after an optimizer step moves vertices call
     ``refit_accel`` (jit-able) so traversal candidates track the geometry.
+    Stored shading normals (tri_n0..2) are likewise not re-derived — for
+    large vertex moves recompute them host-side
+    (utils.obj_loader.compute_vertex_normals) and re-upload, or optimize
+    with flat (geometric) shading, which tracks the vertices exactly.
     """
     vidx = scene.tri_vidx
     return scene.replace(
