@@ -101,6 +101,10 @@ class MeshScene:
     num_triangles: int = struct.field(pytree_node=False, default=0)
     stack_depth: int = struct.field(pytree_node=False, default=34)
     max_leaf: int = struct.field(pytree_node=False, default=2)
+    # Set by refit_accel: the Pallas/dense tables track the moved vertices
+    # but the BVH *node* bounds do not; the "bvh" strategy refuses to run
+    # on such a scene (it would silently return wrong hits).
+    stale_node_bounds: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_models(self) -> int:
@@ -219,8 +223,9 @@ def refit_accel(scene: MeshScene) -> MeshScene:
     Rebuilds the Pallas Woop table + cluster AABBs in jnp.  BVH *node*
     bounds are not refit (the "bvh" strategy is a CPU-validation path);
     the dense and pallas strategies never read node bounds, so
-    optimization loops using them stay correct.  Use after optimizer
-    steps that move vertices.
+    optimization loops using them stay correct.  The returned scene is
+    flagged ``stale_node_bounds`` and the "bvh" strategy refuses to run
+    on it.  Use after optimizer steps that move vertices.
     """
     if scene.woop is None:
         return scene
@@ -256,7 +261,8 @@ def refit_accel(scene: MeshScene) -> MeshScene:
                        chunk(v2).min(1))
     cmax = jnp.maximum(jnp.maximum(chunk(v0).max(1), chunk(v1).max(1)),
                        chunk(v2).max(1))
-    return scene.replace(woop=woop, cluster_min=cmin, cluster_max=cmax)
+    return scene.replace(woop=woop, cluster_min=cmin, cluster_max=cmax,
+                         stale_node_bounds=True)
 
 
 def transform_rays(frame, origins, dirs):
@@ -370,6 +376,12 @@ def _bvh_traverse_single(scene: MeshScene, root: int, o, d, t_init):
 
 
 def _bvh_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
+    if scene.stale_node_bounds:
+        raise ValueError(
+            "scene was refit_accel'd after a vertex update: BVH node "
+            "bounds are stale (refit_accel only rebuilds the Pallas "
+            "tables). Use method='dense'/'pallas', or re-upload the scene."
+        )
     o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
     root = scene.model_first_node[b]
     t, i, u, v = jax.vmap(
@@ -429,13 +441,14 @@ def pallas_model_hit_for_tests(scene: MeshScene, origins, dirs, t_best):
 
 
 def _tri_record(scene: MeshScene) -> jnp.ndarray:
-    """Pack everything shading needs per triangle into one [T, 24] table.
+    """Pack everything shading needs per triangle into one [T, 36] table.
 
     Row gathers on TPU cost milliseconds per 256k indices (ops/gather.py),
     so the post-hit pass does ONE ``record[idx]`` gather instead of ~12
-    separate vertex/uv/material gathers.  Layout: v0 v1 v2 (9), uv0 uv1 uv2
-    (6), Kd (3), Ks (3), Ns (1), use_tex (1), tex_idx (1), Ke (3),
-    shading normals n0 n1 n2 (9, zero = geometric).  Built from the
+    separate vertex/uv/material gathers.  Layout (36 columns): v0 v1 v2
+    (0-8), uv0 uv1 uv2 (9-14), Kd (15-17), Ks (18-20), Ns (21), use_tex
+    (22), tex_idx (23), Ke (24-26), shading normals n0 n1 n2 (27-35, zero
+    = geometric).  Built from the
     scene's differentiable arrays inside the trace, so material/vertex
     gradients flow through the packing; the per-triangle material expansion
     is a [T]-sized gather (trivial).
@@ -455,7 +468,7 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
 
 def _record_material(scene: MeshScene, rec_t, u, v, t=None) -> Materials:
     """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
-    packed per-triangle record (component-first [27, N]) — no per-ray
+    packed per-triangle record (component-first [36, N]) — no per-ray
     table gathers."""
     albedo = rec_t[15:18]
     if scene.atlas is not None:
@@ -562,7 +575,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         # --- Shared post-pass: ONE packed-record gather for the winner,
         # transposed once into the component-first layout ---
         idx = jnp.maximum(best_i, 0)
-        rec_t = _tri_record(scene)[idx].T                   # [27, N]
+        rec_t = _tri_record(scene)[idx].T                   # [36, N]
         v0, v1, v2 = rec_t[0:3], rec_t[3:6], rec_t[6:9]
         e1 = v1 - v0
         e2 = v2 - v0

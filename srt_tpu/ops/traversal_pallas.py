@@ -405,7 +405,12 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
             rb_ref[:] = rb
             tbm_ref[0, 0] = jnp.max(rb)
             if any_hit:
-                done_ref[0, 0] = jnp.all(rb < t_max).astype(jnp.int32)
+                # A ray is resolved when it found some hit inside t_max OR
+                # is dead (t_max <= 0; dead lanes have rb == t_max == 0, so
+                # the strict compare alone would never let mixed live/dead
+                # tiles take the early-out).
+                done_ref[0, 0] = jnp.all(
+                    (rb < t_max) | (t_max <= 0.0)).astype(jnp.int32)
 
         return carry
 

@@ -108,3 +108,61 @@ def test_any_hit_agrees_with_closest_hit():
     # Any-hit t values are still genuine hits within the segment.
     ta = np.asarray(t_a)[hit_a]
     assert (ta > 0).all() and (ta < 4.0 + 1e-3).all()
+
+
+def test_any_hit_early_out_with_dead_lanes():
+    """Mixed live/dead tiles must still take the any-hit early-out: once
+    every LIVE ray has a hit, remaining supers are skipped — observable
+    because a later super here holds a genuinely NEARER triangle that the
+    early-out never evaluates.  Regression for the dead-lane gate (lanes
+    with rb == t_max == 0 previously kept ``done`` from ever setting, so
+    post-primary shadow tiles with any dead ray lost the shortcut)."""
+    from srt_tpu.ops import traversal_pallas as tp
+
+    tile = 8
+    n_tiles = 8
+    # Two supers, one real triangle each (lane 0 of their first cluster).
+    # Super 0: huge AABB entered at z=1, triangle at z=50.
+    # Super 1: small AABB entered at z=5, triangle at z=8 (closer hit).
+    tris = np.zeros((2 * tp.SUPER * tp.CLUSTER, 3, 3), np.float32)
+
+    def set_tri(c, z):
+        tris[c * tp.CLUSTER] = [[-10, -10, z], [10, -10, z], [0, 10, z]]
+
+    set_tri(0, 50.0)
+    set_tri(tp.SUPER, 8.0)
+    woop13 = tp.build_woop(tris[:, 0], tris[:, 1], tris[:, 2])   # [13, T]
+    w16 = np.zeros((16, tris.shape[0]), np.float32)
+    w16[:13] = woop13
+    woop = jnp.asarray(
+        w16.reshape(16, 2 * tp.SUPER, tp.CLUSTER).transpose(1, 0, 2).copy())
+
+    # Cluster AABB table [S, 8, 16]; NaN boxes for the empty clusters.
+    cb = np.full((2, 8, tp.SUPER), np.nan, np.float32)
+    cb[0, 0:3, 0] = [-10.0, -10.0, 1.0]
+    cb[0, 3:6, 0] = [10.0, 10.0, 100.0]
+    cb[1, 0:3, 0] = [-10.0, -10.0, 5.0]
+    cb[1, 3:6, 0] = [10.0, 10.0, 10.0]
+
+    # Each tile: rays 0-3 live (t_max 200) at the origin along +z,
+    # rays 4-7 dead (t_max 0).
+    rays = np.zeros((n_tiles * tile, 8), np.float32)
+    rays[:, 5] = 1.0
+    rays[:, 6] = np.tile(np.array([200.0] * 4 + [0.0] * 4, np.float32),
+                         n_tiles)
+
+    counts = jnp.full((n_tiles, 1), 2, jnp.int32)
+    clist = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (n_tiles, 1))
+    elist = jnp.tile(jnp.asarray([[1.0, 5.0]], jnp.float32), (n_tiles, 1))
+    args = (counts, clist, elist, jnp.asarray(rays), jnp.asarray(cb), woop)
+
+    t_any, i_any = tp._launch(*args, tile, True, any_hit=True)
+    t_closest, _ = tp._launch(*args, tile, True, any_hit=False)
+    t_any = np.asarray(t_any).reshape(n_tiles, tile)
+    t_closest = np.asarray(t_closest).reshape(n_tiles, tile)
+    # Closest-hit walks both supers and finds the nearer z=8 triangle...
+    np.testing.assert_allclose(t_closest[:, :4], 8.0, rtol=1e-4)
+    # ...but any-hit resolves every live ray after super 0 and skips
+    # super 1 despite the dead lanes in the tile (t stays at 50).
+    np.testing.assert_allclose(t_any[:, :4], 50.0, rtol=1e-4)
+    assert (np.asarray(i_any).reshape(n_tiles, tile)[:, :4] == 0).all()

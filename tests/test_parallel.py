@@ -35,7 +35,7 @@ def test_trace_sharded_matches_single_device():
     vp = derive_viewport(cam)
     origins, dirs = generate_rays(vp, cam.width, cam.height, uniforms[:, 0:2].T)
     out = trace_sharded(
-        pathtracer.spheres_hit_fn.__call__ if False else (lambda s: pathtracer.spheres_hit_fn(s)),
+        lambda s: pathtracer.spheres_hit_fn(s),
         spheres, lights, origins, dirs, uniforms, cfg, mesh,
     )
     np.testing.assert_allclose(np.asarray(out).T, np.asarray(ref), rtol=1e-5, atol=1e-6)

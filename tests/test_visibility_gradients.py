@@ -97,3 +97,17 @@ def test_boundary_term_is_material():
     # At this scene/resolution the interior term dominates the radius
     # gradient; the boundary term is a small but non-trivial correction.
     assert abs(g_ea - g_plain) > 0.02 * abs(g_ea)
+    # ...and the correction is SIGNAL, not noise: adding the boundary term
+    # must move the gradient TOWARD finite differences of the edge-aware
+    # renderer — right sign, and the FD gap strictly shrinks.  (A noise
+    # term would move in an arbitrary direction; the absolute 10% FD
+    # agreement is asserted by test_radius_grad_matches_fd_without_mask.)
+    eps = 2e-3
+    fd = (float(loss_ea(jnp.float32(eps)))
+          - float(loss_ea(jnp.float32(-eps)))) / (2 * eps)
+    assert np.sign(g_ea - g_plain) == np.sign(fd - g_plain), (
+        f"boundary term has the wrong sign: analytic {g_ea} vs fd {fd} "
+        f"(plain {g_plain})")
+    assert abs(g_ea - fd) < abs(g_plain - fd), (
+        f"boundary term widens the FD gap: analytic {g_ea} vs fd {fd} "
+        f"(plain {g_plain})")
