@@ -62,30 +62,57 @@ def main():
     )
     n = cam.width * cam.height
 
-    def run(key):
-        stream = KeyStream(key, n)
-        from srt_tpu.camera import derive_viewport, generate_rays
-        vp = derive_viewport(cam)
-        jitter = stream.take(2)
-        origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
-        if cfg.morton_order:
-            # Z-order the wavefront for kernel-tile coherence (ops/morton),
-            # gated on the config flag exactly like trace_image_sample;
-            # un-permute for a usable image.
-            from srt_tpu.ops.morton import (PermutedStream, morton_perm,
-                                            permute_rays, unpermute_image)
-            perm, inv = morton_perm(cam.height, cam.width)
-            o_m, d_m = permute_rays(origins, dirs, perm)
-            color, stats = pathtracer.trace_wavefront(
-                hit_fn, lights, o_m, d_m,
-                PermutedStream(stream, perm), cfg, return_stats=True
-            )
-            return unpermute_image(color, inv), stats
-        return pathtracer.trace_wavefront(
-            hit_fn, lights, origins, dirs, stream, cfg, return_stats=True
-        )
+    # Driver: "compact" (default for pallas) is the host-loop wavefront
+    # with alive-prefix compaction (models/wavefront_compact.py); "scan"
+    # is the one-jit lax.scan integrator.  Same image, same honest ray
+    # accounting (tests/test_compact.py).
+    driver = os.environ.get("SRT_BENCH_DRIVER",
+                            "compact" if method == "pallas" else "scan")
+    overflow_checks = []
+    if driver == "compact":
+        from srt_tpu.models.wavefront_compact import (discover_schedule,
+                                                      trace_image_compact)
+        schedule = discover_schedule(hit_fn, lights, cam, cfg,
+                                     jax.random.key(0))
+        compact = jax.jit(lambda k: trace_image_compact(
+            hit_fn, lights, cam, cfg, KeyStream(k, n), schedule,
+            return_stats=True))
 
-    runner = jax.jit(run)
+        def runner(key):
+            img, stats, overflow = compact(key)
+            # Deferred check: pulled after the timing loop (device scalar;
+            # nonzero would mean the schedule under-provisioned and the
+            # frame dropped live paths).
+            overflow_checks.append(overflow)
+            return img, stats
+    else:
+        def run(key):
+            stream = KeyStream(key, n)
+            from srt_tpu.camera import derive_viewport, generate_rays
+            vp = derive_viewport(cam)
+            jitter = stream.take(2)
+            origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+            if cfg.morton_order:
+                # Z-order the wavefront for kernel-tile coherence
+                # (ops/morton), gated on the config flag exactly like
+                # trace_image_sample; un-permute for a usable image.
+                from srt_tpu.ops.morton import (PermutedStream, morton_perm,
+                                                permute_rays,
+                                                unpermute_image)
+                perm, inv = morton_perm(cam.height, cam.width)
+                o_m, d_m = permute_rays(origins, dirs, perm)
+                color, stats = pathtracer.trace_wavefront(
+                    hit_fn, lights, o_m, d_m,
+                    PermutedStream(stream, perm), cfg, return_stats=True
+                )
+                return unpermute_image(color, inv), stats
+            return pathtracer.trace_wavefront(
+                hit_fn, lights, origins, dirs, stream, cfg,
+                return_stats=True
+            )
+
+        runner = jax.jit(run)
+
     color, stats = runner(jax.random.key(0))
     jax.block_until_ready(color)
 
@@ -99,6 +126,8 @@ def main():
         jax.block_until_ready(color)
     dt = (time.perf_counter() - t0) / reps
 
+    assert all(int(o) == 0 for o in overflow_checks), \
+        "compact schedule overflowed: frame(s) dropped live paths"
     rays = int(np.asarray(stats).sum())  # closest-hit + shadow rays, 1 frame
     mrays = rays / dt / 1e6
 

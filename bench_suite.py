@@ -230,12 +230,180 @@ def config5_scaling():
              vs_baseline=round(eff, 3))
 
 
+def config6_mesh_bwd():
+    """Backward pass on the high-poly PALLAS scene: jax.grad of an image
+    loss w.r.t. materials AND shared vertex positions (the two BASELINE
+    gradient surfaces), on the production traversal path.  Gradients flow
+    through the exact refine of each winner (the kernel itself is a
+    stop-gradded candidate search)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    rows, cols = (12, 18) if SMALL else (160, 320)
+    mesh_data = uv_sphere(rows, cols, radius=2.0)
+    scene = mesh_mod.upload(flatten_models([mesh_data], pad_to=128))
+    size = 32 if SMALL else 256
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    method = "pallas" if jax.default_backend() == "tpu" else "dense"
+    cfg = RenderConfig(max_depth=2, rr_bounces=0, spp=1,
+                       sort_bounces=(method == "pallas"))
+    lights = model_scene_lights()
+
+    def loss(params, key):
+        diffuse, positions = params
+        s = mesh_mod.with_positions(
+            scene.replace(mat_diffuse=diffuse), positions)
+        hit = mesh_mod.mesh_hit_fn(s, method=method)
+        img = pathtracer.render(hit, lights, cam, cfg, key)
+        return jnp.mean(img)
+
+    params = (scene.mat_diffuse, scene.positions)
+    fwd = jax.jit(loss)
+    _, dtf = _timed(fwd, params, jax.random.key(0), reps=3)
+    grad = jax.jit(jax.grad(loss))
+    g, dtg = _timed(grad, params, jax.random.key(0), reps=3)
+    import numpy as np
+    finite = all(bool(jnp.isfinite(x).all()) for x in g)
+    nonzero = float(sum(float(jnp.abs(x).sum()) for x in g))
+    emit(metric=f"config6 {mesh_data.num_triangles}tri {size}x{size} "
+                f"mat+vertex-grad bwd wall ({method})",
+         value=round(dtg, 4), unit="s",
+         vs_baseline=float(finite and nonzero > 0.0))
+    emit(metric=f"config6 bwd/fwd wall ratio ({method})",
+         value=round(dtg / max(dtf, 1e-9), 2), unit="x",
+         vs_baseline=float(finite))
+
+
+def config7_mesh_scaling():
+    """Mesh-path (BVH triangle pipeline) shard scaling — the BASELINE
+    scaling metric on the mesh path, not just spheres (config5)."""
+    import jax
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.parallel import device_mesh
+    from srt_tpu.parallel.render_sharded import render_sharded
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    n_dev = len(jax.devices())
+    size = 64 if SMALL else 128
+    cfg = RenderConfig(max_depth=2, rr_bounces=1, spp=2)
+    scene = mesh_mod.upload(flatten_models([uv_sphere(24, 36)], pad_to=1))
+    lights = model_scene_lights()
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+
+    results = {}
+    shards = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for s in shards:
+        mesh = device_mesh(s, 1)
+        fn = jax.jit(lambda k, m=mesh: render_sharded(
+            lambda sc: mesh_mod.mesh_hit_fn(sc, method="dense"),
+            scene, lights, cam, cfg, k, m))
+        _, dt = _timed(fn, jax.random.key(0))
+        results[s] = size * size * cfg.spp / dt
+    base = results[shards[0]]
+    for s in shards:
+        eff = results[s] / (base * s)
+        emit(metric=f"config7 mesh scaling {s} shards "
+                    f"({jax.default_backend()})",
+             value=round(results[s] / 1e6, 3), unit="Mpaths/s",
+             vs_baseline=round(eff, 3))
+
+
+def config8_streamed_large_scene():
+    """Airplane-class scene BEYOND the VMEM-resident limit: ~500k
+    triangles force the HBM-streaming kernel (traversal_pallas
+    stream=True).  TPU: forward Mrays/s; CPU: a small smoke with
+    streaming forced on, so the code path stays covered everywhere."""
+    import jax
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not SMALL:
+        rows, cols = 360, 700                    # ~503k triangles
+        size = 512
+    else:
+        rows, cols = 12, 18
+        size = 32
+    mesh_data = uv_sphere(rows, cols, radius=2.0)
+    scene = mesh_mod.upload(flatten_models([mesh_data], pad_to=128))
+    if on_tpu and not SMALL:
+        from srt_tpu.ops.traversal_pallas import STREAM_THRESHOLD_CLUSTERS
+        assert scene.woop.shape[0] > STREAM_THRESHOLD_CLUSTERS, \
+            "scene must exceed the VMEM-resident limit"
+    if not (on_tpu and not SMALL):
+        # CPU / smoke: correctness of the stream path (interpret-mode
+        # DMA), not throughput — stream-forced kernel vs the dense sweep.
+        import jax.numpy as jnp
+
+        from srt_tpu.ops.traversal_pallas import pallas_model_hit
+        from tests.test_mesh import random_rays
+        o, d = random_rays(512, seed=5)
+        t_max = jnp.full((512,), jnp.inf)
+        ts, is_, _, _ = pallas_model_hit(scene, 0, o, d, t_max, stream=True)
+        td, _, _, _ = mesh_mod._dense_model_hit(scene, 0, o, d, t_max)
+        agree = float(((np.asarray(is_) != -1)
+                       == np.isfinite(np.asarray(td))).mean())
+        emit(metric=f"config8 streamed {mesh_data.num_triangles}tri "
+                    f"hit agreement vs dense (smoke, stream forced)",
+             value=agree, unit="fraction", vs_baseline=float(agree > 0.995))
+        return
+
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    cfg = RenderConfig(max_depth=2, rr_bounces=0, spp=1, sort_bounces=True)
+    lights = model_scene_lights()
+    # mesh_hit_fn's pallas branch auto-streams over the VMEM threshold.
+    hit = mesh_mod.mesh_hit_fn(scene, method="pallas")
+
+    from srt_tpu.camera import derive_viewport, generate_rays
+    from srt_tpu.ops.rng import KeyStream
+    n = size * size
+
+    def run(key):
+        stream = KeyStream(key, n)
+        vp = derive_viewport(cam)
+        jitter = stream.take(2)
+        o, d = generate_rays(vp, cam.width, cam.height, jitter)
+        return pathtracer.trace_wavefront(hit, lights, o, d, stream, cfg,
+                                          return_stats=True)
+
+    (color, stats), dt = _timed(jax.jit(run), jax.random.key(0), reps=3)
+    rays = int(np.asarray(stats).sum())
+    finite = bool(np.isfinite(np.asarray(color)).all())
+    emit(metric=f"config8 streamed {mesh_data.num_triangles}tri "
+                f"{size}x{size} fwd (HBM-streamed Woop)",
+         value=round(rays / dt / 1e6, 2), unit="Mrays/s",
+         vs_baseline=float(finite))
+
+
 ALL = {
     "1": config1_oracle_parity,
     "2": config2_spheres_diff,
     "3": config3_rubik_fwd_bwd,
     "4": config4_highpoly,
     "5": config5_scaling,
+    "6": config6_mesh_bwd,
+    "7": config7_mesh_scaling,
+    "8": config8_streamed_large_scene,
 }
 
 if __name__ == "__main__":

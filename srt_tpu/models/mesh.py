@@ -519,8 +519,10 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             # Adaptive default (measured on v5e, 102k-tri headline scene):
             # large scenes want small tiles — per-tile supercluster unions
             # tighten for incoherent bounce rays (512 -> 128 was +34%
-            # frame throughput); tiny scenes want big tiles (culling can't
-            # help when one super covers the scene, fixed costs dominate).
+            # frame throughput; 256 beat 128 on isolated primary/synthetic
+            # workloads but measured ~5% SLOWER on the full frame, r3
+            # matrix) — tiny scenes want big tiles (culling can't help
+            # when one super covers the scene, fixed costs dominate).
             n_supers = (scene.woop.shape[0] + SUPER - 1) // SUPER \
                 if scene.woop is not None else 1
             kernel_tile = 128 if n_supers > 8 else DEFAULT_TILE

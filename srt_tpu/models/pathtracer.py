@@ -204,7 +204,13 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     """Shadow ray (``CheckLightOccluded``, raytrace_compute.glsl:167-176):
     cast p -> light, occluded if anything hits before the light.
     ``active`` masks dead lanes with t_max = 0 so compaction-aware
-    intersectors (the Pallas kernel) skip them entirely."""
+    intersectors (the Pallas kernel) skip them entirely.
+
+    (Tried and rejected, r3: stable-sorting the shadow batch by picked
+    light index before the any-hit call — the kernel barely sped up (the
+    cost is unoccluded rays proving a no-hit over their whole segment,
+    which no grouping shortens) while the extra argsort + gathers cost
+    ~57 ms/frame on the 1024x1024 headline scene.)"""
     delta = light_pos - p
     dist2 = vec.norm2(delta)
     dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
@@ -225,6 +231,144 @@ def _sky(dirs, cfg: RenderConfig):
     white = vec.col([1.0, 1.0, 1.0])
     blue = vec.col([0.5, 0.7, 1.0])
     return bc(1.0 - a) * white + bc(a) * blue
+
+
+def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
+                carry, bounce, u, sort: bool):
+    """One path-tracing bounce on a wavefront slice — the body shared by
+    the ``lax.scan`` integrator below and the width-scheduled compact
+    driver (models/wavefront_compact.py), so the two cannot drift.
+
+    ``carry`` = (origins, dirs, throughput, color, alive, pix), all in
+    wavefront order at the slice's width; ``u`` [D, W] is this bounce's
+    per-ray uniform block ALREADY gathered to wavefront order.  ``sort``
+    applies the live-first coherence re-sort at the end (see
+    ``_bounce_sort_keys``).  Returns (carry', stats) with stats =
+    (rays traced, shadow rays) for honest Mrays/s accounting."""
+    origins, dirs, throughput, color, alive, pix = carry
+    num_lights = lights.count
+    # Dead lanes trace with t_max = 0: compaction-aware intersectors
+    # (Pallas cluster kernel) then skip their tiles outright.
+    rec = closest_hit(
+        origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0)
+    )
+    active = alive & rec.hit
+
+    # Emissive surfaces contribute directly (mesh Ke materials; the
+    # reference parses Ke but never shades it, model_loader.cpp:240).
+    if rec.emitted is not None:
+        color = color + jnp.where(bc(active), throughput * rec.emitted,
+                                  0.0)
+
+    # Paths that miss exit with sky * throughput
+    # (raytrace_compute.glsl:287-292).
+    missed = alive & ~rec.hit
+    color = color + jnp.where(
+        bc(missed), throughput * _sky(dirs, cfg), 0.0
+    )
+
+    view = vec.normalize(-dirs)
+
+    # --- RIS light sampling + direct lighting (glsl:228-246) ---
+    u_idx = u[0:num_lights]
+    u_sel = u[num_lights:2 * num_lights]
+    sampled, light_idx, light_w = brdf.sample_lights_ris(
+        rec.p, lights, u_idx, u_sel
+    )
+    l_pos = take_small_t(lights.position, light_idx)
+    l_col = take_small_t(lights.color, light_idx)
+    l_int = take_small_t(lights.intensity[:, None], light_idx)[0]
+
+    occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
+    shadow_mult = jnp.where(occ, 0.0, 1.0)
+
+    direct_spec = brdf.sample_direct(
+        rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
+    ) * bc(light_w)
+
+    l_dir = brdf.light_dir_to(rec.p, l_pos)
+    falloff = brdf.light_falloff(rec.p, l_pos)
+    light_term = l_col * bc(falloff * l_int * light_w)
+    direct_diff = (
+        brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
+        * bc(shadow_mult) * light_term
+    )
+
+    direct = jnp.where(bc(rec.mat.use_spec), direct_spec, direct_diff)
+    add = active & sampled
+    color = color + jnp.where(bc(add), throughput * direct, 0.0)
+
+    # --- BRDF lobe selection (glsl:248-264) ---
+    u_lobe = u[2 * num_lights]
+    forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
+    prob = brdf.brdf_probability(rec.mat, view, rec.normal)
+    chose_spec = u_lobe < prob
+    take_spec = forced_spec | chose_spec
+    lobe_scale = jnp.where(
+        forced_spec,
+        1.0,
+        jnp.where(chose_spec, 1.0 / prob, 1.0 / (1.0 - prob)),
+    )
+    throughput = jnp.where(
+        bc(active), throughput * bc(lobe_scale), throughput
+    )
+
+    # --- Russian roulette (glsl:266-274), active once bounce passes
+    # max_depth (dynamic within the scan) ---
+    u_rr = u[2 * num_lights + 1]
+    in_rr = bounce >= cfg.max_depth
+    survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
+    died = active & in_rr & (u_rr > survival)
+    if cfg.sky_always:
+        # Reference adds sky * throughput on *every* exit (glsl:292).
+        color = color + jnp.where(
+            bc(died), throughput * _sky(dirs, cfg), 0.0
+        )
+    survived = active & ~died
+    throughput = jnp.where(
+        bc(survived & in_rr), throughput / bc(survival),
+        throughput,
+    )
+    active = survived
+
+    # --- Indirect bounce (glsl:276-285) ---
+    u4 = u[2 * num_lights + 2:2 * num_lights + 6]
+    new_dir, weight, valid = brdf.sample_indirect(
+        rec.p, rec.normal, view, rec.mat, take_spec,
+        u4[0], u4[1], u4[2], u4[3],
+    )
+    invalid = active & ~valid
+    if cfg.sky_always:
+        color = color + jnp.where(
+            bc(invalid), throughput * _sky(dirs, cfg), 0.0
+        )
+    cont = active & valid
+    throughput = jnp.where(bc(cont), throughput * weight, throughput)
+    origins = jnp.where(bc(cont), rec.p, origins)
+    dirs = jnp.where(bc(cont), new_dir, dirs)
+    # Per-bounce ray accounting: closest-hit rays entering the bounce +
+    # shadow rays for paths that found a hit (for Mrays/s metrics).
+    stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
+    if sort:
+        # Re-pack the wavefront for the next bounce (see
+        # _bounce_sort_keys); one stable u32 argsort per bounce.
+        # The permutation is applied as ONE row gather on a packed
+        # [N, 14] array: lane-axis gathers on the component-first
+        # [3, N] carries cost ~100 ms/bounce at 1M rays on TPU
+        # (measured), row-major gathers ~5 ms.
+        order = jnp.argsort(
+            _bounce_sort_keys(origins, dirs, cont), stable=True)
+        packed = jnp.concatenate([
+            origins, dirs, throughput, color,
+            cont[None].astype(jnp.float32),
+            # pix < 2^24 stays exact in f32.
+            pix[None].astype(jnp.float32),
+        ], axis=0).T[order].T
+        origins, dirs = packed[0:3], packed[3:6]
+        throughput, color = packed[6:9], packed[9:12]
+        cont = packed[12] > 0.5
+        pix = packed[13].astype(jnp.int32)
+    return (origins, dirs, throughput, color, cont, pix), stats
 
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
@@ -253,136 +397,15 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
 
     def bounce_body(carry, inputs):
         bounce, u = inputs
-        origins, dirs, throughput, color, alive, pix = carry
         if cfg.sort_bounces:
             # The wavefront is in sorted-ray order; uniforms are drawn in
             # pixel order, so gather each ray's slots via the position ->
             # pixel map.  Every pixel consumes exactly the same numbers as
             # in unsorted order — the image is bit-identical (tested).
-            # Row-major gather (see the permutation note below).
-            u = u.T[pix].T
-        # Dead lanes trace with t_max = 0: compaction-aware intersectors
-        # (Pallas cluster kernel) then skip their tiles outright.
-        rec = closest_hit(
-            origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0)
-        )
-        active = alive & rec.hit
-
-        # Emissive surfaces contribute directly (mesh Ke materials; the
-        # reference parses Ke but never shades it, model_loader.cpp:240).
-        if rec.emitted is not None:
-            color = color + jnp.where(bc(active), throughput * rec.emitted,
-                                      0.0)
-
-        # Paths that miss exit with sky * throughput
-        # (raytrace_compute.glsl:287-292).
-        missed = alive & ~rec.hit
-        color = color + jnp.where(
-            bc(missed), throughput * _sky(dirs, cfg), 0.0
-        )
-
-        view = vec.normalize(-dirs)
-
-        # --- RIS light sampling + direct lighting (glsl:228-246) ---
-        u_idx = u[0:num_lights]
-        u_sel = u[num_lights:2 * num_lights]
-        sampled, light_idx, light_w = brdf.sample_lights_ris(
-            rec.p, lights, u_idx, u_sel
-        )
-        l_pos = take_small_t(lights.position, light_idx)
-        l_col = take_small_t(lights.color, light_idx)
-        l_int = take_small_t(lights.intensity[:, None], light_idx)[0]
-
-        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
-        shadow_mult = jnp.where(occ, 0.0, 1.0)
-
-        direct_spec = brdf.sample_direct(
-            rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
-        ) * bc(light_w)
-
-        l_dir = brdf.light_dir_to(rec.p, l_pos)
-        falloff = brdf.light_falloff(rec.p, l_pos)
-        light_term = l_col * bc(falloff * l_int * light_w)
-        direct_diff = (
-            brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
-            * bc(shadow_mult) * light_term
-        )
-
-        direct = jnp.where(bc(rec.mat.use_spec), direct_spec, direct_diff)
-        add = active & sampled
-        color = color + jnp.where(bc(add), throughput * direct, 0.0)
-
-        # --- BRDF lobe selection (glsl:248-264) ---
-        u_lobe = u[2 * num_lights]
-        forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
-        prob = brdf.brdf_probability(rec.mat, view, rec.normal)
-        chose_spec = u_lobe < prob
-        take_spec = forced_spec | chose_spec
-        lobe_scale = jnp.where(
-            forced_spec,
-            1.0,
-            jnp.where(chose_spec, 1.0 / prob, 1.0 / (1.0 - prob)),
-        )
-        throughput = jnp.where(
-            bc(active), throughput * bc(lobe_scale), throughput
-        )
-
-        # --- Russian roulette (glsl:266-274), active once bounce passes
-        # max_depth (dynamic within the scan) ---
-        u_rr = u[2 * num_lights + 1]
-        in_rr = bounce >= cfg.max_depth
-        survival = jnp.clip(brdf.luminance(throughput), 0.1, 1.0)
-        died = active & in_rr & (u_rr > survival)
-        if cfg.sky_always:
-            # Reference adds sky * throughput on *every* exit (glsl:292).
-            color = color + jnp.where(
-                bc(died), throughput * _sky(dirs, cfg), 0.0
-            )
-        survived = active & ~died
-        throughput = jnp.where(
-            bc(survived & in_rr), throughput / bc(survival),
-            throughput,
-        )
-        active = survived
-
-        # --- Indirect bounce (glsl:276-285) ---
-        u4 = u[2 * num_lights + 2:2 * num_lights + 6]
-        new_dir, weight, valid = brdf.sample_indirect(
-            rec.p, rec.normal, view, rec.mat, take_spec,
-            u4[0], u4[1], u4[2], u4[3],
-        )
-        invalid = active & ~valid
-        if cfg.sky_always:
-            color = color + jnp.where(
-                bc(invalid), throughput * _sky(dirs, cfg), 0.0
-            )
-        cont = active & valid
-        throughput = jnp.where(bc(cont), throughput * weight, throughput)
-        origins = jnp.where(bc(cont), rec.p, origins)
-        dirs = jnp.where(bc(cont), new_dir, dirs)
-        # Per-bounce ray accounting: closest-hit rays entering the bounce +
-        # shadow rays for paths that found a hit (for Mrays/s metrics).
-        stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
-        if cfg.sort_bounces:
-            # Re-pack the wavefront for the next bounce (see
-            # _bounce_sort_keys); one stable u32 argsort per bounce.
-            # The permutation is applied as ONE row gather on a packed
-            # [N, 14] array: lane-axis gathers on the component-first
-            # [3, N] carries cost ~100 ms/bounce at 1M rays on TPU
-            # (measured), row-major gathers ~5 ms.
-            order = jnp.argsort(
-                _bounce_sort_keys(origins, dirs, cont), stable=True)
-            packed = jnp.concatenate([
-                origins, dirs, throughput, color,
-                cont[None].astype(jnp.float32),
-                # pix < 2^24 stays exact in f32.
-                pix[None].astype(jnp.float32),
-            ], axis=0).T[order].T
-            origins, dirs = packed[0:3], packed[3:6]
-            throughput, color = packed[6:9], packed[9:12]
-            cont = packed[12] > 0.5
-            pix = packed[13].astype(jnp.int32)
-        return (origins, dirs, throughput, color, cont, pix), stats
+            # Row-major gather (see the note in bounce_step).
+            u = u.T[carry[5]].T
+        return bounce_step(closest_hit, lights, cfg, carry, bounce, u,
+                           sort=cfg.sort_bounces)
 
     init = (
         origins,

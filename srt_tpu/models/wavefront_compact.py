@@ -1,0 +1,201 @@
+"""Wavefront tracing with alive-prefix compaction.
+
+``trace_wavefront`` (models/pathtracer.py) runs the bounce loop as one
+``lax.scan``: every bounce processes the full ``N``-ray wavefront even
+though paths die fast (miss -> sky exit on bounce 1; RR later).  The
+bounce re-sort already packs dead rays last, so the Pallas kernel skips
+their tiles cheaply — but the per-bounce XLA glue (uniform gathers, BRDF
+shading, the sort itself) still runs at full width.
+
+Here the bounce loop is a **Python loop inside one jit** with a static
+per-bounce **width schedule**: after each bounce's re-sort (live rays
+first), the carry is sliced to the next scheduled width and the dropped
+tail's radiance — final, because every dropped ray is dead — is
+scatter-written once to a pixel-order accumulator.  Each ray exits the
+wavefront exactly once, so the scatters total N rows across the frame.
+XLA sees a straight-line program of shrinking shapes: no host
+round-trips (a first attempt used a host-side loop with per-bounce
+alive-count pulls; on the axon TPU tunnel the per-bounce syncs cost more
+than compaction saved — and per-bounce full-width scatter-ADDs were the
+other hidden cost this design removes), and the whole thing stays
+jittable and reverse-differentiable (slice/scatter have exact
+transposes).
+
+The bounce math is ``pathtracer.bounce_step`` — the SAME function the
+scan integrator runs, so the two cannot drift: per-pixel output matches
+to a few ulps (XLA fuses a scan body slightly differently than the same
+body unrolled) and ray-count stats match exactly (tests/test_compact.py;
+per-ray math never depends on batch width, and every pixel consumes its
+own RNG slots via the position->pixel map).
+
+The schedule comes from measurement, not guesses: ``discover_schedule``
+runs one probe frame and converts its alive counts into granule-rounded
+widths with a safety margin.  Path death is a property of (scene,
+camera, depth) — not of the RNG key — so the schedule transfers across
+frames; if a frame ever produces more live rays than its scheduled width
+the trace reports ``overflow`` > 0 (checked by the caller) instead of
+silently dropping paths: rays are never lost without detection.
+
+Reference accounting analog: the megakernel's early-``return`` threads
+(raytrace_compute.glsl:266-274) free SIMT lanes only until the
+workgroup's slowest thread finishes; here freed rays shrink the whole
+launch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.models import pathtracer
+from srt_tpu.ops.vec import bc
+from srt_tpu.scene import Lights
+
+# Width granule: pallas kernel tiles (<=512) x the 8-tile SMEM window.
+GRANULE = 4096
+
+
+def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
+                  cfg: RenderConfig, schedule: Sequence[int],
+                  pix_init=None, return_stats: bool = False):
+    """Jittable compacted wavefront trace.
+
+    ``schedule``: static per-bounce widths, ``len == max_depth +
+    rr_bounces``; ``schedule[0]`` must equal N (every primary ray is
+    traced), later entries bound the live wavefront entering that bounce
+    (see ``discover_schedule``).  Returns pixel-order radiance ``[3, N]``
+    plus, with ``return_stats``, a ``[B, 2]`` int32 array of honest
+    (traced, shadow) ray counts and an ``overflow`` scalar — the number
+    of live rays that exceeded a scheduled width, summed over bounces.
+    A nonzero overflow means the schedule under-provisioned and those
+    rays were terminated mid-path: callers must treat the frame as
+    invalid and re-derive the schedule (bench.py asserts 0).
+
+    ``stream`` is consumed exactly like ``trace_wavefront``: one
+    ``take(n_bounces * d_slots)`` block, slot-major, PIXEL order.
+    ``pix_init`` maps wavefront position -> pixel id (identity when
+    None); Morton-ordered callers pass the permutation so each ray
+    consumes its own pixel's slots and radiance lands directly in pixel
+    order — no unpermute pass.
+    """
+    n = origins.shape[1]
+    n_bounces = cfg.max_depth + cfg.rr_bounces
+    schedule = tuple(int(w) for w in schedule)
+    assert len(schedule) == n_bounces, \
+        f"schedule has {len(schedule)} widths, need {n_bounces}"
+    assert schedule[0] == n, "schedule[0] must cover every primary ray"
+    assert all(a >= b for a, b in zip(schedule, schedule[1:])), \
+        "schedule must be non-increasing (slices can only shrink)"
+    d_slots = 2 * lights.count + 6
+    u_all = stream.take(n_bounces * d_slots)              # [B*D, N]
+    u_bounce = u_all.reshape(n_bounces, d_slots, n)
+
+    image = jnp.zeros((n, 3), jnp.float32)
+    carry = (
+        origins,
+        dirs,
+        jnp.ones((3, n), jnp.float32),                    # throughput
+        jnp.zeros((3, n), jnp.float32),                   # color (wavefront)
+        jnp.ones((n,), bool),                             # alive
+        (jnp.arange(n, dtype=jnp.int32) if pix_init is None
+         else jnp.asarray(pix_init, jnp.int32)),          # pix
+    )
+    overflow = jnp.int32(0)
+    stats = []
+
+    for b in range(n_bounces):
+        width = schedule[b]
+        if width < carry[0].shape[1]:
+            # Slice to this bounce's width; the dropped tail is dead
+            # (live-first sort) and its color is final — write it out.
+            pix_tail = carry[5][width:]
+            color_tail = carry[3][:, width:]
+            image = image.at[pix_tail].set(color_tail.T)
+            carry = tuple(
+                x[:, :width] if x.ndim == 2 else x[:width] for x in carry)
+        # Per-ray uniform slots via the position -> pixel map (row gather
+        # at the current width).
+        u = u_bounce[b].T[carry[5]].T
+        carry, st = pathtracer.bounce_step(
+            closest_hit, lights, cfg, carry, b, u, sort=True)
+        stats.append(st)
+        if b + 1 < n_bounces:
+            n_alive = jnp.sum(carry[4], dtype=jnp.int32)
+            overflow = overflow + jnp.maximum(
+                n_alive - schedule[b + 1], 0)
+
+    # Paths that survive the static loop are truncated as a miss
+    # (trace_wavefront parity), then the remaining slice exits.
+    origins, dirs, throughput, color, alive, pix = carry
+    color = color + jnp.where(bc(alive),
+                              throughput * pathtracer._sky(dirs, cfg), 0.0)
+    image = image.at[pix].set(color.T)
+
+    if return_stats:
+        return image.T, jnp.stack(stats), overflow
+    return image.T
+
+
+def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
+                        cfg: RenderConfig, stream,
+                        schedule: Sequence[int], origin=None, look_at=None,
+                        return_stats: bool = False):
+    """One full-image sample via the compacted trace; linear [H, W, 3].
+    Jittable with ``schedule`` static (see ``trace_compact``)."""
+    from srt_tpu.camera import derive_viewport, generate_rays
+    vp = derive_viewport(cam, origin=origin, look_at=look_at)
+    jitter = stream.take(2)
+    defocus = stream.take(2) if cam.defocus_angle > 0 else None
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter,
+                                  defocus)
+    pix_init = None
+    if cfg.morton_order:
+        from srt_tpu.ops.morton import morton_perm, permute_rays
+        perm, _ = morton_perm(cam.height, cam.width)
+        origins, dirs = permute_rays(origins, dirs, perm)
+        # Uniforms stay in pixel order; pix carries real pixel ids, so the
+        # in-step slot gather and the image scatter are both direct —
+        # exactly the numbers PermutedStream would deliver.
+        pix_init = perm
+    out = trace_compact(closest_hit, lights, origins, dirs, stream, cfg,
+                        schedule, pix_init=pix_init,
+                        return_stats=return_stats)
+    if return_stats:
+        radiance, stats, overflow = out
+        return radiance.T.reshape(cam.height, cam.width, 3), stats, overflow
+    return out.T.reshape(cam.height, cam.width, 3)
+
+
+def discover_schedule(closest_hit, lights: Lights, cam: CameraConfig,
+                      cfg: RenderConfig, key, margin: float = 1.25,
+                      min_width: int = GRANULE,
+                      granule: int = GRANULE) -> tuple:
+    """Measure one probe frame's per-bounce alive counts and round them
+    into a width schedule with a safety ``margin``.
+
+    Path death is driven by scene coverage and Russian roulette — both
+    properties of the (scene, camera, depth) configuration, not of the
+    RNG key — so a schedule from one frame transfers to others; the
+    margin absorbs the per-key jitter and ``trace_compact``'s overflow
+    output catches the residual.
+    """
+    from srt_tpu.ops.rng import KeyStream
+    n = cam.width * cam.height
+    full = tuple([n] * (cfg.max_depth + cfg.rr_bounces))
+    probe = jax.jit(lambda k: trace_image_compact(
+        closest_hit, lights, cam, cfg, KeyStream(k, n), full,
+        return_stats=True))
+    _, stats, _ = probe(key)
+    counts = np.asarray(stats)[:, 0]          # rays entering each bounce
+    sched = [n]
+    for b in range(1, len(counts)):
+        # Exact granule-rounded widths (not a geometric ladder): every
+        # width in the schedule compiles exactly once inside the single
+        # jit, so there is nothing to amortize by coarsening.
+        want = max(int(counts[b] * margin), min_width)
+        sched.append(min(-(-want // granule) * granule, sched[-1], n))
+    return tuple(sched)

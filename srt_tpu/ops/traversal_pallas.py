@@ -28,9 +28,11 @@ for the VPU's 8x128 lanes instead of SIMT threads:
   for the winner with one exact Moller-Trumbore evaluation outside the
   kernel, so precision matches the dense path.
 
-Scene data (the Woop table, [13, T]) lives in VMEM for scenes up to
-~200k triangles; larger scenes stream per-cluster via the same layout
-(future work, see ROADMAP).
+Scene data (the Woop table, [13, T]) lives in VMEM for models up to
+~218k triangles; larger (Airplane-class) models keep the table in HBM
+and the intersect kernel double-buffer DMAs each processed super's
+16-cluster block, prefetching the next ordered list entry under the
+current one's compute (``stream=True``).
 """
 
 from __future__ import annotations
@@ -260,8 +262,8 @@ def _launch_cull(rays, sbounds, tile: int, interpret: bool):
 
 def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
                       woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref,
-                      rb_ref, tbm_ref, word_ref, done_ref, *, tile: int,
-                      any_hit: bool):
+                      rb_ref, tbm_ref, word_ref, done_ref, *stream_refs,
+                      tile: int, any_hit: bool, stream: bool):
     """One ray tile vs its active superclusters of one model.
 
     counts_ref: [8, 1] int32 SMEM (8-row window, this tile's row is
@@ -294,7 +296,23 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
     the tile's worst best-t and all farther supers skip at ~1 scalar
     compare each (``Intersects`` early-out parity,
     ray_intersects.glsl:99-133).
+
+    ``stream=True`` is the large-scene mode (Airplane-class, > ~218k
+    triangles): the Woop table stays in HBM and each processed super's
+    16-cluster block (128 KB) is DMA'd into a double-buffered VMEM
+    scratch, prefetching the NEXT list entry while the current one
+    computes — the ordered super list is its own prefetch schedule.  The
+    gates are monotone (elist ascends, tbm only shrinks, any-hit ``done``
+    is sticky), so issuing super j+1's DMA inside super j's gated body
+    pairs every issue with exactly one wait; ``pend`` tracks the one
+    possibly-dangling prefetch for the post-loop drain (scratch
+    semaphores persist across grid steps — a leftover signal would hand
+    the next tile a stale block).  stream_refs = (wbuf [2, SUPER, 16,
+    CLUSTER] VMEM, dma_sem [2], pend [1,1] SMEM).
     """
+    if stream:
+        wbuf_ref, dma_sem, pend_ref = stream_refs
+
     row = jax.lax.rem(pl.program_id(0), 8)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER), 1)
     ox = rays_ref[:, 0:1]
@@ -311,6 +329,17 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
     out_t_ref[:] = t_max
     out_i_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
 
+    if stream:
+        pend_ref[0, 0] = -1  # scratch persists across grid steps: reset
+
+        def woop_dma(j, slot):
+            s_idx = clist_ref[row, j]
+            return pltpu.make_async_copy(
+                woop_ref.at[pl.ds(s_idx * SUPER, SUPER)],
+                wbuf_ref.at[slot],
+                dma_sem.at[slot],
+            )
+
     def super_body(j, carry):
         # Shrinking-t gate: skip the super outright when its nearest entry
         # is beyond every ray's current best hit (and, in any-hit mode,
@@ -322,6 +351,18 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
         @pl.when(gate)
         def _do_super():
             s_idx = clist_ref[row, j]
+            if stream:
+                # Monotone gates guarantee block j's DMA was issued (by
+                # body j-1 or the pre-loop warmup).  Wait it, then start
+                # j+1's prefetch so it rides under this super's compute.
+                slot = jax.lax.rem(j, 2)
+                woop_dma(j, slot).wait()
+                pend_ref[0, 0] = -1
+
+                @pl.when(j + 1 < counts_ref[row, 0])
+                def _prefetch():
+                    woop_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
+                    pend_ref[0, 0] = j + 1
             b = cb_ref[s_idx]                     # [8, 16]
             ray_best = rb_ref[:]                  # [tile, 1]
 
@@ -359,7 +400,10 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
                     best_t = bt_ref[:]
                     best_i = bi_ref[:]
                     base = c * CLUSTER
-                    w = woop_ref[c]               # [16, 128]
+                    if stream:
+                        w = wbuf_ref[jax.lax.rem(j, 2), k]   # [16, 128]
+                    else:
+                        w = woop_ref[c]           # [16, 128]
 
                     def r(q):
                         return w[q:q + 1, :]      # [1, 128]
@@ -422,7 +466,19 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
         tbm_ref[0, 0] = BIG
         if any_hit:
             done_ref[0, 0] = 0
+        if stream:
+            woop_dma(0, 0).start()   # warm up the pipeline
+            pend_ref[0, 0] = 0
         jax.lax.fori_loop(0, counts_ref[row, 0], super_body, 0)
+        if stream:
+            # Drain the one possibly-unwaited prefetch (issued by the last
+            # gated body, gated off before its wait) so the semaphore is
+            # clean for the next grid step.
+            @pl.when(pend_ref[0, 0] >= 0)
+            def _drain():
+                jp = pend_ref[0, 0]
+                woop_dma(jp, jax.lax.rem(jp, 2)).wait()
+                pend_ref[0, 0] = -1
         best_t = bt_ref[:]
         best_i = bi_ref[:]
         t_min = jnp.min(best_t, axis=1, keepdims=True)
@@ -435,17 +491,41 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "interpret", "any_hit"))
+                   static_argnames=("tile", "interpret", "any_hit",
+                                    "stream"))
 def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
-            interpret: bool, any_hit: bool = False):
+            interpret: bool, any_hit: bool = False, stream: bool = False):
     """counts [n_tiles, 1], clist/elist [n_tiles, S], rays [n_tiles*tile, 8],
     cbounds [S, 8, 16], woop [C, 16, 128]; one tile per program; SMEM
     windows are 8-column blocks (Mosaic block-shape constraint), the kernel
-    reads its own column via program_id % 8."""
+    reads its own column via program_id % 8.
+
+    ``stream=True``: the Woop table stays in HBM (its cluster count must
+    be a multiple of SUPER) and per-super blocks are double-buffer DMA'd
+    by the kernel — the Airplane-class large-scene mode."""
     n_tiles = rays.shape[0] // tile
     assert n_tiles % 8 == 0
     s = clist.shape[1]
-    kernel = functools.partial(_intersect_kernel, tile=tile, any_hit=any_hit)
+    if stream:
+        assert woop.shape[0] % SUPER == 0, \
+            "stream mode needs the Woop table padded to whole supers"
+    kernel = functools.partial(_intersect_kernel, tile=tile, any_hit=any_hit,
+                               stream=stream)
+    woop_space = pltpu.ANY if stream else pltpu.VMEM
+    scratch = [
+        pltpu.VMEM((tile, CLUSTER), jnp.float32),
+        pltpu.VMEM((tile, CLUSTER), jnp.int32),
+        pltpu.VMEM((tile, 1), jnp.float32),
+        pltpu.SMEM((1, 1), jnp.float32),
+        pltpu.SMEM((1, 1), jnp.int32),
+        pltpu.SMEM((1, 1), jnp.int32),
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((2, SUPER, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -460,8 +540,7 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, 8, SUPER), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((woop.shape[0], 16, CLUSTER), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=woop_space),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
@@ -473,14 +552,7 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tile, CLUSTER), jnp.float32),
-            pltpu.VMEM((tile, CLUSTER), jnp.int32),
-            pltpu.VMEM((tile, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(counts, clist, elist, rays, cbounds, woop)
 
@@ -510,9 +582,15 @@ def _exact_refine(scene, idx, origins, dirs):
     return t, u, v
 
 
+# Largest per-model Woop table kept VMEM-resident: ~8 KB per 128-triangle
+# cluster on a 16 MB-VMEM chip leaves ~1,700 clusters (~218k triangles)
+# alongside the kernel's scratch; larger models stream from HBM.
+STREAM_THRESHOLD_CLUSTERS = 1700
+
+
 def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                      tile: int = DEFAULT_TILE, any_hit: bool = False,
-                     refine: bool = True):
+                     refine: bool = True, stream=None):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
     strategies in models/mesh.py.  origins/dirs are [3, N] (component-first
     wavefront layout, ops/vec.py).  Returns (t [N], tri_idx [N], u, v).
@@ -539,23 +617,16 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
             "scene was uploaded without Pallas tables; use "
             "flatten_models(..., pad_to=128) + upload()"
         )
-    # The Woop table is VMEM-resident: ~8 KB per 128-triangle cluster on a
-    # 16 MB-VMEM chip leaves ~1,700 clusters (~218k triangles) per model.
-    # Larger scenes need the HBM-streaming variant (ROADMAP) — fail loudly
-    # rather than letting Mosaic emit an opaque allocation error.
-    if scene.woop.shape[0] > 1700:
-        raise ValueError(
-            f"model has {scene.woop.shape[0]} clusters "
-            f"(~{scene.woop.shape[0] * 128} triangles); the VMEM-resident "
-            "Woop table supports ~218k triangles per model. Split the "
-            "model or use method='dense' with ray_tile for now "
-            "(HBM streaming is roadmap)."
-        )
     lo = scene.model_first_tri[b]
     count = scene.model_padded_tri_count[b]
     assert count % CLUSTER == 0
     c_lo = lo // CLUSTER
     n_clusters = count // CLUSTER
+    # Airplane-class models exceed the VMEM-resident table: switch to the
+    # HBM-streaming kernel (per-super double-buffered DMA; see
+    # _intersect_kernel).  ``stream`` overrides for tests/tuning.
+    if stream is None:
+        stream = n_clusters > STREAM_THRESHOLD_CLUSTERS
 
     o_m, d_m = transform_rays(scene.frames[b], origins, dirs)
     n = origins.shape[1]
@@ -601,6 +672,15 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
         [o_p, d_p, t_p[None, :], jnp.zeros((1, npad), jnp.float32)], axis=0
     ).T)
     woop_slice = sg(scene.woop[c_lo:c_lo + n_clusters])
+    if stream:
+        # The streaming DMA copies whole SUPER-cluster blocks: pad the
+        # table to full supers (zero blocks: eps row 0 -> |zd| <= 0 is
+        # always true -> parallel -> never a hit; their cluster AABBs are
+        # NaN boxes below, so they are bit-gated off anyway).
+        w_pad = (-n_clusters) % SUPER
+        if w_pad:
+            woop_slice = jnp.pad(woop_slice,
+                                 ((0, w_pad), (0, 0), (0, 0)))
 
     # Super/cluster AABB tables for the cull + intersect kernels.  Clusters
     # pad to a full super; the padding for the per-cluster slab table is
@@ -643,7 +723,7 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     else:
         clist, elist, counts = _launch_cull(rays8, sbounds, tile, interpret)
     out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
-                           tile, interpret, any_hit=any_hit)
+                           tile, interpret, any_hit=any_hit, stream=stream)
     out_t = out_t[:n, 0]
     out_i = out_i[:n, 0]
 

@@ -56,6 +56,11 @@ class FlatScene:
     tri_n2: np.ndarray
     tri_vidx: np.ndarray          # [T, 3] int32 into the packed vertex buffer
     positions: np.ndarray         # [V, 3] packed vertex buffer (for grads)
+    # edge adjacency: tri_adj[t, k] = triangle sharing edge k of t (edge k
+    # joins corners k and (k+1)%3), -1 at mesh boundaries and on padding
+    # rows — the topology the mesh silhouette gradients walk
+    # (models/edge_aware_mesh.py)
+    tri_adj: np.ndarray = None    # [T, 3] int32
     # materials (``GPUMaterial``, gpu_loader.cpp:26-34)
     mat_diffuse: np.ndarray       # [M, 3]
     mat_specular: np.ndarray      # [M, 3]

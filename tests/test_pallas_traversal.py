@@ -166,3 +166,34 @@ def test_any_hit_early_out_with_dead_lanes():
     # super 1 despite the dead lanes in the tile (t stays at 50).
     np.testing.assert_allclose(t_any[:, :4], 50.0, rtol=1e-4)
     assert (np.asarray(i_any).reshape(n_tiles, tile)[:, :4] == 0).all()
+
+
+def test_stream_mode_matches_resident():
+    """The HBM-streaming kernel (stream=True: per-super double-buffered
+    DMA of the Woop table) must return exactly the hits of the
+    VMEM-resident kernel — same candidates, same winners — including on
+    a model whose cluster count is NOT a multiple of SUPER (exercises the
+    zero-padded tail blocks)."""
+    from srt_tpu.ops.traversal_pallas import SUPER, pallas_model_hit
+
+    mesh = procgen.uv_sphere(16, 24)          # ~700 tris -> 6 clusters
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    assert scene.woop.shape[0] % SUPER != 0   # partial super tail
+
+    o, d = random_rays(1024, seed=3)
+    t_max = jnp.full((1024,), jnp.inf)
+
+    tr, ir, ur, vr = pallas_model_hit(scene, 0, o, d, t_max, stream=False)
+    ts, is_, us, vs = pallas_model_hit(scene, 0, o, d, t_max, stream=True)
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(is_))
+    np.testing.assert_array_equal(np.asarray(tr), np.asarray(ts))
+
+    # Any-hit mode too (the early-out path interacts with the prefetch
+    # drain: a super's block may be fetched and never waited).
+    t_seg = jnp.full((1024,), 4.0)
+    _, ia, _, _ = pallas_model_hit(scene, 0, o, d, t_seg, any_hit=True,
+                                   stream=False)
+    _, ib, _, _ = pallas_model_hit(scene, 0, o, d, t_seg, any_hit=True,
+                                   stream=True)
+    np.testing.assert_array_equal(np.asarray(ia) != -1,
+                                  np.asarray(ib) != -1)

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""REAL multi-process multi-host exercise (SURVEY.md section 2.3 mandate).
+
+Launches 2 OS processes, each a JAX 'host' with 4 virtual CPU devices,
+joined via ``jax.distributed.initialize`` on a localhost coordinator —
+the CPU-backend stand-in for a 2-host TPU pod (the same trick the tests
+use for multi-chip, extended to multi-PROCESS so the
+``process_allgather`` assembly branch and the process-aware tile
+assignment (``parallel/mesh.local_shard_bounds``) actually execute).
+
+Each process renders only its own tile of a BVH-mesh scene
+(``parallel/multihost.render_multihost``), all-gathers the image, and
+reports per-process wall time; the parent verifies every process
+assembled the SAME image, that it matches a single-process render of the
+whole frame, and computes the scaling efficiency.  Results land in
+``tools/multihost_2proc.json`` (committed artifact).
+
+Usage:  python tools/multihost_2proc.py            # parent / driver
+        python tools/multihost_2proc.py --proc I   # internal: child I
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PORT = int(os.environ.get("SRT_MH_PORT", "19763"))
+NPROC = 2
+DEV_PER_PROC = 4
+SIZE = (64, 32)          # W, H — small: CPU dense-mesh trace
+SEED = 11
+
+
+def _force_cpu(n_devices: int):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _scene_setup():
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    scene = mesh_mod.upload(flatten_models([uv_sphere(12, 18)], pad_to=1))
+    lights = model_scene_lights()
+    cam = CameraConfig(width=SIZE[0], height=SIZE[1],
+                       origin=(0.0, 1.0, 5.0), look_at=(0.0, 0.0, 0.0))
+    cfg = RenderConfig(max_depth=2, rr_bounces=1, spp=1)
+    return scene, lights, cam, cfg
+
+
+def child(proc_id: int):
+    jax = _force_cpu(DEV_PER_PROC)
+    # Join the coordinator BEFORE importing srt_tpu: any import that
+    # touches the backend would initialize it single-process and
+    # jax.distributed.initialize would then fail.
+    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                               num_processes=NPROC, process_id=proc_id)
+    from srt_tpu.parallel.mesh import device_mesh
+
+    assert jax.process_count() == NPROC, \
+        f"expected {NPROC} processes, got {jax.process_count()}"
+    assert len(jax.devices()) == NPROC * DEV_PER_PROC
+
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.parallel.multihost import render_multihost
+
+    scene, lights, cam, cfg = _scene_setup()
+    mesh = device_mesh()  # all 8 global devices on the rays axis
+
+    def run(key):
+        return render_multihost(
+            lambda s: mesh_mod.mesh_hit_fn(s, method="dense"),
+            scene, lights, cam, cfg, key, mesh)
+
+    img = run(jax.random.key(SEED))          # warm-up/compile
+    t0 = time.perf_counter()
+    img = run(jax.random.key(SEED))
+    dt = time.perf_counter() - t0
+
+    import numpy as np
+    out = {
+        "proc": proc_id,
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "tile_seconds": dt,
+        "image_sum": float(np.asarray(img, np.float64).sum()),
+        "image_sha": __import__("hashlib").sha256(
+            np.ascontiguousarray(np.asarray(img)).tobytes()).hexdigest(),
+    }
+    path = f"/tmp/srt_mh_proc{proc_id}.json"
+    with open(path, "w") as f:
+        json.dump(out, f)
+    # Proc 0 also dumps the image for the parent's reference comparison.
+    if proc_id == 0:
+        np.save("/tmp/srt_mh_img.npy", np.asarray(img))
+    print(f"proc {proc_id}: ok ({dt*1e3:.0f} ms/frame local tile)")
+
+
+def parent():
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen([sys.executable, os.path.abspath(__file__),
+                          "--proc", str(i)], env=env)
+        for i in range(NPROC)
+    ]
+    rcs = [p.wait(timeout=900) for p in procs]
+    assert all(rc == 0 for rc in rcs), f"child exit codes: {rcs}"
+
+    import numpy as np
+    results = [json.load(open(f"/tmp/srt_mh_proc{i}.json"))
+               for i in range(NPROC)]
+    assert all(r["process_count"] == NPROC for r in results)
+    # Every process must assemble the SAME full image.
+    shas = {r["image_sha"] for r in results}
+    assert len(shas) == 1, f"processes assembled different images: {shas}"
+
+    # Single-process reference of the SAME render (8 local devices).
+    jax = _force_cpu(NPROC * DEV_PER_PROC)
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.parallel.mesh import device_mesh
+    from srt_tpu.parallel.multihost import render_multihost
+
+    scene, lights, cam, cfg = _scene_setup()
+    mesh = device_mesh()
+
+    def run(key):
+        return render_multihost(
+            lambda s: mesh_mod.mesh_hit_fn(s, method="dense"),
+            scene, lights, cam, cfg, key, mesh)
+
+    ref = run(jax.random.key(SEED))
+    t0 = time.perf_counter()
+    ref = run(jax.random.key(SEED))
+    t1 = time.perf_counter() - t0
+
+    img = np.load("/tmp/srt_mh_img.npy")
+    max_diff = float(np.abs(np.asarray(ref) - img).max())
+    bit_equal = bool((np.asarray(ref) == img).all())
+
+    t2 = max(r["tile_seconds"] for r in results)
+    n = cam.width * cam.height
+    # rays/s scaling: each process traced n/2 primary paths in t2 vs one
+    # process tracing n in t1 -> efficiency = t1 / (2 * t2).
+    efficiency = t1 / (NPROC * t2)
+    report = {
+        "processes": NPROC,
+        "devices_per_process": DEV_PER_PROC,
+        "note": ("scaling_efficiency on this box is bounded by CPU "
+                 "oversubscription (2 processes x 4 virtual devices on a "
+                 f"{os.cpu_count()}-core host), not by the framework; the "
+                 "artifact's point is that the process_allgather assembly "
+                 "and process-aware tile ownership run multi-process and "
+                 "assemble bit-identically"),
+        "host_cpus": os.cpu_count(),
+        "scene": "uv_sphere(12,18) BVH mesh, dense strategy",
+        "image": f"{cam.width}x{cam.height}",
+        "bit_equal_to_single_process": bit_equal,
+        "max_abs_diff": max_diff,
+        "assembled_identically_on_all_processes": True,
+        "single_process_frame_s": t1,
+        "multi_process_tile_s": t2,
+        "scaling_efficiency": efficiency,
+        "per_process": results,
+    }
+    out_path = os.path.join(REPO, "tools", "multihost_2proc.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    assert bit_equal or max_diff < 1e-6, \
+        f"multi-process image diverged: {max_diff}"
+    print(f"multihost_2proc: OK -> {out_path}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--proc":
+        child(int(sys.argv[2]))
+    else:
+        parent()
