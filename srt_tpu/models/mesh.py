@@ -88,6 +88,10 @@ class MeshScene:
     # gradients scatter-add back to shared vertices via the gather VJP.
     tri_vidx: Optional[jnp.ndarray] = None   # [T, 3] int32 into positions
     positions: Optional[jnp.ndarray] = None  # [V, 3]
+    # Edge adjacency (global triangle ids, -1 = boundary/padding): the
+    # topology the mesh silhouette gradients walk
+    # (models/edge_aware_mesh.py).
+    tri_adj: Optional[jnp.ndarray] = None    # [T, 3] int32
 
     # Distance-based mip LOD: lod = log2(hit_t * mip_lod_scale), clamped to
     # the chain; 0 disables (base level only).  A path tracer has no screen
@@ -177,6 +181,8 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None,
         cluster_max=cmax,
         tri_vidx=jnp.asarray(scene.tri_vidx),
         positions=jnp.asarray(scene.positions),
+        tri_adj=(None if scene.tri_adj is None
+                 else jnp.asarray(scene.tri_adj)),
         model_first_node=tuple(int(x) for x in scene.model_first_node),
         model_first_tri=tuple(int(x) for x in scene.model_first_tri),
         model_tri_count=tuple(int(x) for x in scene.model_tri_count),

@@ -56,11 +56,6 @@ class FlatScene:
     tri_n2: np.ndarray
     tri_vidx: np.ndarray          # [T, 3] int32 into the packed vertex buffer
     positions: np.ndarray         # [V, 3] packed vertex buffer (for grads)
-    # edge adjacency: tri_adj[t, k] = triangle sharing edge k of t (edge k
-    # joins corners k and (k+1)%3), -1 at mesh boundaries and on padding
-    # rows — the topology the mesh silhouette gradients walk
-    # (models/edge_aware_mesh.py)
-    tri_adj: np.ndarray = None    # [T, 3] int32
     # materials (``GPUMaterial``, gpu_loader.cpp:26-34)
     mat_diffuse: np.ndarray       # [M, 3]
     mat_specular: np.ndarray      # [M, 3]
@@ -68,12 +63,64 @@ class FlatScene:
     mat_specular_ex: np.ndarray   # [M]
     mat_use_texture: np.ndarray   # [M] bool
     mat_tex_index: np.ndarray     # [M] int32 into the atlas (-1 = none)
+    # edge adjacency: tri_adj[t, k] = triangle sharing edge k of t (edge k
+    # joins corners k and (k+1)%3), -1 at mesh boundaries and on padding
+    # rows — the topology the mesh silhouette gradients walk
+    # (models/edge_aware_mesh.py)
+    tri_adj: np.ndarray = None    # [T, 3] int32
     num_triangles: int = 0        # real (unpadded) triangle count
     max_depth: int = 32           # deepest BVH depth across models
 
     @property
     def num_models(self) -> int:
         return self.model_first_node.shape[0]
+
+
+def triangle_adjacency(vidx: np.ndarray, n_real: int,
+                       positions: np.ndarray = None) -> np.ndarray:
+    """Edge-adjacency of one model's triangles (vectorized).
+
+    ``vidx`` [T_padded, 3] vertex indices in BVH order; only the first
+    ``n_real`` rows are real (padding rows duplicate real triangles and
+    must not join the topology).  When ``positions`` is given, vertices
+    are first WELDED by exact coordinate equality, so meshes that
+    duplicate corners (triangle soup — e.g. the procgen primitives, or
+    OBJ models with per-corner splits) still get a closed topology.
+    Returns [T_padded, 3] int32 where entry (t, k) is the LOCAL index of
+    the triangle sharing edge k of t (edge k joins corners k and
+    (k+1)%3), or -1 for boundary edges, padding rows, and non-manifold
+    extras (best-effort: a >2-triangle edge pairs its first two sides).
+    """
+    t_padded = vidx.shape[0]
+    adj = np.full(3 * t_padded, -1, np.int64)
+    if n_real:
+        a = vidx[:n_real].astype(np.int64)
+        if positions is not None:
+            _, weld = np.unique(np.asarray(positions, np.float32),
+                                axis=0, return_inverse=True)
+            a = weld.astype(np.int64)[a]
+        e = np.concatenate([
+            np.stack([a[:, 0], a[:, 1]], 1),
+            np.stack([a[:, 1], a[:, 2]], 1),
+            np.stack([a[:, 2], a[:, 0]], 1),
+        ], axis=0)                                     # edge i = k*n + tri
+        key = e.min(1) * (a.max() + 1) + e.max(1)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        pair = np.nonzero(ks[:-1] == ks[1:])[0]
+        # Non-manifold guard: a run of 3+ equal keys would chain pairs;
+        # keep only the first pair of each run.
+        if pair.size:
+            keep = np.ones(pair.size, bool)
+            keep[1:] = pair[1:] != pair[:-1] + 1
+            pair = pair[keep]
+        ea, eb = order[pair], order[pair + 1]
+        # adj is indexed by padded edge id k*t_padded + tri.
+        def eid(i):
+            return (i // n_real) * t_padded + (i % n_real)
+        adj[eid(ea)] = eb % n_real
+        adj[eid(eb)] = ea % n_real
+    return adj.reshape(3, t_padded).T.astype(np.int32)
 
 
 def flatten_models(
@@ -105,7 +152,7 @@ def flatten_models(
     first_nodes, node_counts, first_tris, tri_counts, frame_list = [], [], [], [], []
     nmin, nmax, nfirst, ncount = [], [], [], []
     tv0, tv1, tv2, u0, u1, u2, tmat, tvidx = [], [], [], [], [], [], [], []
-    tn0, tn1, tn2 = [], [], []
+    tn0, tn1, tn2, tadj = [], [], [], []
     positions = []
     md, ms, mem, mex, mut, mti = [], [], [], [], [], []
 
@@ -165,6 +212,11 @@ def flatten_models(
                            (), 0, np.int32))
         tvidx.append(padded(vidx.astype(np.int64) + vert_off, (3,), 0, np.int32))
         positions.append(mesh.positions)
+        adj_local = triangle_adjacency(
+            np.concatenate([vidx, np.repeat(vidx[-1:], n_pad, axis=0)])
+            if n_pad else vidx, n_real, positions=mesh.positions)
+        tadj.append(np.where(adj_local >= 0, adj_local + tri_off,
+                             -1).astype(np.int32))
 
         for m in mesh.materials:
             md.append(m.diffuse)
@@ -206,6 +258,7 @@ def flatten_models(
         tri_n2=cat(tn2, (3,)),
         tri_vidx=cat(tvidx, (3,), 0, np.int32),
         positions=np.concatenate(positions).astype(np.float32),
+        tri_adj=cat(tadj, (3,), 0, np.int32),
         mat_diffuse=np.asarray(md, np.float32).reshape(-1, 3),
         mat_specular=np.asarray(ms, np.float32).reshape(-1, 3),
         mat_emissive=np.asarray(mem, np.float32).reshape(-1, 3),

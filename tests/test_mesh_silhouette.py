@@ -1,0 +1,150 @@
+"""Mesh silhouette (edge-aware) visibility gradients
+(models/edge_aware_mesh.py): finite differences of the renderer match
+jax.grad WITHOUT a decision-stable-pixel mask — the mesh analog of
+tests/test_visibility_gradients.py, closing the gap that vertex
+optimization stalls at silhouettes (VERDICT r2 missing #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srt_tpu.config import CameraConfig, RenderConfig
+from srt_tpu.models import pathtracer
+from srt_tpu.models import mesh as mesh_mod
+from srt_tpu.models.edge_aware_mesh import trace_edge_aware_mesh
+from srt_tpu.ops import rng as rng_ops
+from srt_tpu.ops.rng import ArrayStream
+from srt_tpu.scene import model_scene_lights
+from srt_tpu.utils import procgen
+from srt_tpu.utils.flatten import flatten_models, triangle_adjacency
+
+CAM = CameraConfig(width=24, height=20, origin=(0.0, 1.0, 5.0),
+                   look_at=(0.0, 0.0, 0.0))
+CFG = RenderConfig(max_depth=2, rr_bounces=0, morton_order=False)
+
+
+def setup():
+    scene = mesh_mod.upload(flatten_models([procgen.cube(size=2.0)],
+                                           pad_to=1))
+    lights = model_scene_lights()
+    n = CAM.width * CAM.height
+    n_slots = rng_ops.total_slots(lights.count, CFG.max_depth)
+    uniforms = jnp.asarray(rng_ops.host_uniforms(13, n, n_slots))
+    return scene, lights, uniforms
+
+
+def test_triangle_adjacency_cube():
+    """A closed cube: every edge of every real triangle has a neighbor,
+    the relation is symmetric, and neighbors genuinely share the edge."""
+    mesh = procgen.cube(size=1.0)
+    adj = triangle_adjacency(mesh.tri_vidx, mesh.num_triangles,
+                             positions=mesh.positions)
+    assert adj.shape == (mesh.num_triangles, 3)
+    assert (adj >= 0).all()                       # watertight
+    # welded-coordinate edges: neighbors must genuinely share the edge
+    _, weld = np.unique(np.asarray(mesh.positions, np.float32), axis=0,
+                        return_inverse=True)
+    vidx = weld[mesh.tri_vidx]
+    for t in range(mesh.num_triangles):
+        for k in range(3):
+            edge = {vidx[t, k], vidx[t, (k + 1) % 3]}
+            o = adj[t, k]
+            assert o != t
+            o_edges = [{vidx[o, j], vidx[o, (j + 1) % 3]} for j in range(3)]
+            assert edge in o_edges                # shares the edge
+            assert t in adj[o]                    # symmetric
+
+
+def test_triangle_adjacency_boundary_and_padding():
+    """An open sheet has -1 on boundary edges; padding rows are all -1."""
+    import numpy as np
+    # Two triangles forming a quad: one shared edge, four boundary edges.
+    vidx = np.array([[0, 1, 2], [2, 1, 3]], np.int32)
+    adj = triangle_adjacency(vidx, 2)
+    assert (adj >= 0).sum() == 2                  # the one shared edge, both sides
+    padded = np.concatenate([vidx, vidx[-1:], vidx[-1:]])
+    adj_p = triangle_adjacency(padded, 2)
+    np.testing.assert_array_equal(adj_p[:2], adj)
+    assert (adj_p[2:] == -1).all()                # padding joins nothing
+
+
+def test_edge_aware_mesh_matches_plain_away_from_silhouettes():
+    """The blend only touches silhouette-band pixels; the interior is
+    bit-identical to the reference-semantics renderer."""
+    scene, lights, uniforms = setup()
+    plain = pathtracer.trace_with_uniforms(
+        mesh_mod.mesh_hit_fn(scene, method="dense"), lights, CAM, CFG,
+        uniforms)
+    ea = trace_edge_aware_mesh(scene, lights, CAM, CFG,
+                               ArrayStream(uniforms))
+    diff = np.abs(np.asarray(plain) - np.asarray(ea)).max(axis=2)
+    assert (diff == 0.0).mean() > 0.7             # interior untouched
+    assert (diff > 0.0).sum() > 5                 # the band exists
+
+
+def test_vertex_translate_grad_matches_fd_without_mask():
+    """d(mean image)/d(cube x-translation) including the silhouette term:
+    FD over the WHOLE image (no stable-pixel mask) matches jax.grad."""
+    scene, lights, uniforms = setup()
+    base = scene.positions
+
+    def loss(dx):
+        pos = base + jnp.stack(
+            [dx, jnp.zeros_like(dx), jnp.zeros_like(dx)])[None, :]
+        s = mesh_mod.with_positions(scene, pos)
+        return jnp.mean(trace_edge_aware_mesh(s, lights, CAM, CFG,
+                                              ArrayStream(uniforms)))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 2e-3
+    fd = (float(loss(jnp.float32(eps)))
+          - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g - fd) <= 0.1 * max(0.05, abs(fd)), f"analytic {g} vs fd {fd}"
+
+
+def test_vertex_scale_grad_matches_fd_without_mask():
+    """Scaling the cube (the mesh analog of a sphere-radius change) —
+    the silhouette sweeps outward; FD matches jax.grad unmasked."""
+    scene, lights, uniforms = setup()
+    base = scene.positions
+
+    def loss(ds):
+        s = mesh_mod.with_positions(scene, base * (1.0 + ds))
+        return jnp.mean(trace_edge_aware_mesh(s, lights, CAM, CFG,
+                                              ArrayStream(uniforms)))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 1e-3
+    fd = (float(loss(jnp.float32(eps)))
+          - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g - fd) <= 0.1 * max(0.05, abs(fd)), f"analytic {g} vs fd {fd}"
+
+
+def test_mesh_boundary_term_is_signal():
+    """The silhouette term must move the gradient TOWARD finite
+    differences relative to the plain (path-space-only) gradient."""
+    scene, lights, uniforms = setup()
+    base = scene.positions
+
+    def loss_plain(ds):
+        s = mesh_mod.with_positions(scene, base * (1.0 + ds))
+        return jnp.mean(pathtracer.trace_with_uniforms(
+            mesh_mod.mesh_hit_fn(s, method="dense"), lights, CAM, CFG,
+            uniforms))
+
+    def loss_ea(ds):
+        s = mesh_mod.with_positions(scene, base * (1.0 + ds))
+        return jnp.mean(trace_edge_aware_mesh(s, lights, CAM, CFG,
+                                              ArrayStream(uniforms)))
+
+    g_plain = float(jax.grad(loss_plain)(jnp.float32(0.0)))
+    g_ea = float(jax.grad(loss_ea)(jnp.float32(0.0)))
+    eps = 1e-3
+    fd = (float(loss_ea(jnp.float32(eps)))
+          - float(loss_ea(jnp.float32(-eps)))) / (2 * eps)
+    assert abs(g_ea - g_plain) > 0.02 * abs(g_ea)   # term is material
+    assert abs(g_ea - fd) < abs(g_plain - fd), (
+        f"boundary term widens the FD gap: ea {g_ea} vs fd {fd} "
+        f"(plain {g_plain})")
