@@ -88,6 +88,21 @@ class RenderConfig:
     # for the Pallas cluster kernel on big scenes.  Off by default: the
     # dense/CPU paths gain nothing.
     sort_bounces: bool = False
+    # Ray-cone footprint tracking for mip selection (the TPU analog of
+    # the GL driver's derivative-driven mipmapped samplers,
+    # include/asset_utils/gpu_texture.h:39-53): each path carries a cone
+    # (width, spread); width grows by t*spread per segment, spread widens
+    # by the BRDF lobe at each bounce (cone_spec_spread * roughness for
+    # specular, cone_diffuse_spread for diffuse).  Textured mesh scenes
+    # then pick mip LODs from the actual footprint instead of the scalar
+    # distance heuristic.  ``primary_spread`` is the per-unit-t pixel
+    # footprint of camera rays; renderers derive it from the camera
+    # (trace_image_sample) — 0 leaves camera rays footprint-free until
+    # the first bounce.  Off by default (oracle parity).
+    ray_cones: bool = False
+    primary_spread: float = 0.0
+    cone_diffuse_spread: float = 0.35
+    cone_spec_spread: float = 0.25
 
 
 # Reference defaults (src/main.cpp:137-138, raytrace_compute.glsl:366-384).

@@ -21,9 +21,12 @@ Forward cost is ~2x primary (one extra full trace); the un-blended
 renderer stays bit-exact with the reference semantics, so this path is
 opt-in.
 
-Scope: primary-visibility silhouettes.  Secondary discontinuities
-(silhouettes seen in reflections, shadow boundaries) remain path-space
-only — they need edge sampling in the integrator proper (roadmap).
+Scope: primary-visibility silhouettes, plus (opt-in,
+``soft_shadow_band``) SHADOW boundaries via a penetration-ramp occlusion
+multiplier plugged into the integrator's ``shadow_fn`` hook.  Remaining
+gap: silhouettes seen in reflections (secondary visibility) are still
+path-space only — they need edge sampling in the integrator proper
+(roadmap).
 """
 
 from __future__ import annotations
@@ -65,14 +68,56 @@ def _winner_silhouette(spheres: Spheres, origins, dirs, widx):
     return sdf, along, along + half
 
 
+def soft_shadow_fn(spheres: Spheres, band: float):
+    """Reparameterized occlusion for ``bounce_step``'s ``shadow_fn`` hook:
+    the binary shadow test (``CheckLightOccluded``,
+    raytrace_compute.glsl:167-176) becomes a coverage ramp in the
+    occluder's silhouette penetration, so SHADOW boundaries carry
+    gradients w.r.t. occluder centers/radii — the shadow-boundary analog
+    of the primary-silhouette reparameterization below.
+
+    ``band`` is the ramp width in world units.  For each shadow segment
+    the most-occluding sphere is the one with the largest penetration
+    ``r - impact_parameter`` among spheres whose closest approach lies
+    inside the segment; mult = clip(0.5 - pen/band, 0, 1): deep inside
+    the silhouette -> 0 (hard-shadow parity), outside -> 1, smooth
+    across the boundary.  As band -> 0 this converges to the binary
+    test (up to the half-width at the exact silhouette)."""
+
+    def fn(closest_hit, p, l_pos, t_min, active):
+        delta = l_pos - p
+        dist2 = vec.norm2(delta)
+        dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
+        d = delta / bc(jnp.maximum(dist, 1e-8))
+        oc = spheres.center.T[:, None, :] - p[:, :, None]   # [3, N, S]
+        along = jnp.sum(oc * d[:, :, None], axis=0)         # [N, S]
+        perp2 = jnp.maximum(
+            jnp.sum(oc * oc, axis=0) - along * along, 0.0)
+        b = jnp.sqrt(jnp.where(perp2 > 0.0, perp2, 1.0))
+        b = jnp.where(perp2 > 0.0, b, 0.0)                  # NaN-safe grad
+        pen = spheres.radius[None, :] - b
+        in_seg = (along > t_min) & (along < dist[:, None])
+        pen_best = jnp.max(jnp.where(in_seg, pen, -jnp.inf), axis=1)
+        mult = jnp.clip(0.5 - pen_best / jnp.maximum(band, 1e-6),
+                        0.0, 1.0)
+        if active is not None:
+            mult = jnp.where(active, mult, 1.0)
+        return mult
+
+    return fn
+
+
 def trace_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
-                     cfg: RenderConfig, stream, band: float = 1.0):
+                     cfg: RenderConfig, stream, band: float = 1.0,
+                     soft_shadow_band: float = 0.0):
     """One image sample with reparameterized primary visibility.
 
     ``band`` is the coverage ramp width in pixels (at the sphere's
-    distance).  Returns linear radiance [H, W, 3].  Both traces consume
-    the SAME uniform block, so the blend is between two correlated
-    estimates and the image is deterministic given the stream.
+    distance).  ``soft_shadow_band`` > 0 additionally reparameterizes
+    SHADOW boundaries (world-unit ramp; see ``soft_shadow_fn``).  Returns
+    linear radiance [H, W, 3].  Both traces consume the SAME uniform
+    block, so the blend is between two correlated estimates and the image
+    is deterministic given the stream.
     """
     n = cam.width * cam.height
     vp = derive_viewport(cam)
@@ -82,9 +127,12 @@ def trace_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
     n_bounces = cfg.max_depth + cfg.rr_bounces
     u_block = stream.take(n_bounces * rng_ops.bounce_slots(lights.count))
 
+    shadow = (soft_shadow_fn(spheres, soft_shadow_band)
+              if soft_shadow_band > 0.0 else None)
     hit_fn = spheres_hit_fn(spheres)
     color_main = trace_wavefront(hit_fn, lights, origins, dirs,
-                                 ArrayStream(u_block.T), cfg)
+                                 ArrayStream(u_block.T), cfg,
+                                 shadow_fn=shadow)
 
     # Primary winner + its silhouette coverage.
     from srt_tpu.ops import intersect
@@ -106,7 +154,8 @@ def trace_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
     d_hat = vec.normalize(dirs)
     o_bg = origins + bc(jnp.where(p_hit, t_exit + cfg.t_min, 0.0)) * d_hat
     color_bg = trace_wavefront(hit_fn, lights, o_bg, dirs,
-                               ArrayStream(u_block.T), cfg)
+                               ArrayStream(u_block.T), cfg,
+                               shadow_fn=shadow)
 
     blend = jnp.where(p_hit, cov, 1.0)
     radiance = bc(blend) * color_main + bc(1.0 - blend) * color_bg

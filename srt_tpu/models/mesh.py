@@ -400,15 +400,26 @@ def _bvh_model_hit(scene: MeshScene, b: int, origins, dirs, t_best):
 # Shading hookup
 # ---------------------------------------------------------------------------
 
-def _mip_lod(scene: MeshScene, t):
-    """Distance-based mip LOD (see MeshScene.mip_lod_scale); None when
-    mips are absent or disabled."""
+def _mip_lod(scene: MeshScene, t, cone=None):
+    """Mip LOD; None when mips are absent or disabled.
+
+    Default: the scalar distance heuristic lod = log2(t * scale).  With a
+    ray ``cone`` (width-at-origin [N], spread [N]; RenderConfig.ray_cones)
+    the footprint at the hit is width + t * spread and ``mip_lod_scale``
+    acts as texels-per-world-unit — true footprint tracking through
+    bounces (the GL driver analog: derivative-driven mipmapped samplers,
+    include/asset_utils/gpu_texture.h:39-53)."""
     if scene.atlas_mip_rects is None or scene.mip_lod_scale <= 0.0:
         return None
+    if cone is not None:
+        width, spread = cone
+        fp = width + t * spread
+        return jnp.log2(jnp.maximum(fp * scene.mip_lod_scale, 1.0))
     return jnp.log2(jnp.maximum(t * scene.mip_lod_scale, 1.0))
 
 
-def triangle_material(scene: MeshScene, tri_idx, u, v, t=None) -> Materials:
+def triangle_material(scene: MeshScene, tri_idx, u, v, t=None,
+                      cone=None) -> Materials:
     """OBJ material -> shading material (``TriangleToSupportedMat``,
     raytrace_utils.glsl:140-175): textured albedo via barycentric UV lookup
     in the atlas (trilinear through the mip chain when ``t`` and mips are
@@ -423,7 +434,7 @@ def triangle_material(scene: MeshScene, tri_idx, u, v, t=None) -> Materials:
             + u[:, None] * scene.uv1[tri_idx]
             + v[:, None] * scene.uv2[tri_idx]
         )
-        lod = None if t is None else _mip_lod(scene, t)
+        lod = None if t is None else _mip_lod(scene, t, cone=cone)
         tex_rgb = sample_atlas(
             scene.atlas, scene.atlas_rects, scene.mat_tex_index[midx], uv,
             mip_rects=scene.atlas_mip_rects, lod=lod,
@@ -472,7 +483,8 @@ def _tri_record(scene: MeshScene) -> jnp.ndarray:
     ], axis=1)
 
 
-def _record_material(scene: MeshScene, rec_t, u, v, t=None) -> Materials:
+def _record_material(scene: MeshScene, rec_t, u, v, t=None,
+                     cone=None) -> Materials:
     """``TriangleToSupportedMat`` (raytrace_utils.glsl:140-175) from the
     packed per-triangle record (component-first [36, N]) — no per-ray
     table gathers."""
@@ -484,7 +496,7 @@ def _record_material(scene: MeshScene, rec_t, u, v, t=None) -> Materials:
             + u[None, :] * rec_t[11:13]
             + v[None, :] * rec_t[13:15]
         )
-        lod = None if t is None else _mip_lod(scene, t)
+        lod = None if t is None else _mip_lod(scene, t, cone=cone)
         tex_rgb = sample_atlas(
             scene.atlas, scene.atlas_rects,
             rec_t[23].astype(jnp.int32), uv.T,
@@ -541,7 +553,7 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     else:
         raise ValueError(f"unknown traversal method: {method}")
 
-    def hit_tile(origins, dirs, t_min, t_max, any_hit=False):
+    def hit_tile(origins, dirs, t_min, t_max, any_hit=False, cone=None):
         n = origins.shape[1]
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         best_i = jnp.full((n,), MISS)
@@ -657,7 +669,8 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             facing = jnp.sum(normal * dirs, axis=0) < 0.0
             normal = jnp.where(facing[None, :], normal, -normal)
 
-        mat = _record_material(scene, rec_t, best_u, best_v, t=t_safe)
+        mat = _record_material(scene, rec_t, best_u, best_v, t=t_safe,
+                               cone=cone)
         # Emission (Ke) rides the Hit record; the integrator credits
         # throughput * Ke on hit — mesh area emitters, a capability the
         # reference parses but never uses (model_loader.cpp:240-273).
@@ -668,23 +681,33 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     if ray_tile <= 0:
         return hit_tile
 
-    def hit_tiled(origins, dirs, t_min, t_max, any_hit=False):
+    def hit_tiled(origins, dirs, t_min, t_max, any_hit=False, cone=None):
         n = origins.shape[1]
         if n <= ray_tile:
-            return hit_tile(origins, dirs, t_min, t_max, any_hit=any_hit)
+            return hit_tile(origins, dirs, t_min, t_max, any_hit=any_hit,
+                            cone=cone)
         pad = (-n) % ray_tile
         o = jnp.pad(origins, ((0, 0), (0, pad)))
         d = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
         tm = jnp.pad(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
                      (0, pad), constant_values=1.0)
         tiles = (n + pad) // ray_tile
+        if cone is None:
+            cw = ct = jnp.zeros((n + pad,), jnp.float32)
+        else:
+            cw = jnp.pad(cone[0], (0, pad))
+            ct = jnp.pad(cone[1], (0, pad))
         res = jax.lax.map(
             lambda args: hit_tile(args[0], args[1], t_min, args[2],
-                                  any_hit=any_hit),
+                                  any_hit=any_hit,
+                                  cone=(None if cone is None
+                                        else (args[3], args[4]))),
             (
                 o.reshape(3, tiles, ray_tile).transpose(1, 0, 2),
                 d.reshape(3, tiles, ray_tile).transpose(1, 0, 2),
                 tm.reshape(tiles, ray_tile),
+                cw.reshape(tiles, ray_tile),
+                ct.reshape(tiles, ray_tile),
             ),
         )
 

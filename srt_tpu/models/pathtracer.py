@@ -99,20 +99,24 @@ def spheres_hit_fn(spheres: Spheres) -> HitFn:
     return closest_hit
 
 
-def _supports_any_hit(fn) -> bool:
-    """True when ``fn`` accepts the optional ``any_hit`` keyword.  Resolved
+def _supports_kw(fn, name: str) -> bool:
+    """True when ``fn`` accepts the optional keyword ``name``.  Resolved
     once from the signature (not by probing the call and swallowing
     TypeError, which would mask genuine TypeErrors inside the hit fn and
-    silently disable the shadow fast path)."""
+    silently disable the optional path)."""
     import inspect
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):
         return False
-    if "any_hit" in sig.parameters:
+    if name in sig.parameters:
         return True
     return any(p.kind is inspect.Parameter.VAR_KEYWORD
                for p in sig.parameters.values())
+
+
+def _supports_any_hit(fn) -> bool:
+    return _supports_kw(fn, "any_hit")
 
 
 def union_hit_fn(*hit_fns: HitFn) -> HitFn:
@@ -121,18 +125,23 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
     The reference switches between spheres and models with the
     ``showModel`` uniform (raytrace_compute.glsl:132-143, either/or);
     this generalizes to heterogeneous scenes (spheres + meshes together).
-    Hit fns without an ``any_hit`` parameter (detected from the signature)
-    are called without it and simply don't get the shadow fast path.
+    Hit fns without an ``any_hit``/``cone`` parameter (detected from the
+    signature) are called without it and simply don't get the shadow fast
+    path / footprint-driven mips.
     """
     takes_any_hit = tuple(_supports_any_hit(fn) for fn in hit_fns)
+    takes_cone = tuple(_supports_kw(fn, "cone") for fn in hit_fns)
 
-    def closest_hit(origins, dirs, t_min, t_max, any_hit=False):
+    def closest_hit(origins, dirs, t_min, t_max, any_hit=False, cone=None):
         best = None
-        for fn, supported in zip(hit_fns, takes_any_hit):
+        for fn, supported, with_cone in zip(hit_fns, takes_any_hit,
+                                            takes_cone):
+            kw = {}
             if supported:
-                rec = fn(origins, dirs, t_min, t_max, any_hit=any_hit)
-            else:
-                rec = fn(origins, dirs, t_min, t_max)
+                kw["any_hit"] = any_hit
+            if with_cone and cone is not None:
+                kw["cone"] = cone
+            rec = fn(origins, dirs, t_min, t_max, **kw)
             if best is None:
                 best = rec
                 continue
@@ -234,23 +243,38 @@ def _sky(dirs, cfg: RenderConfig):
 
 
 def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
-                carry, bounce, u, sort: bool):
+                carry, bounce, u, sort: bool, shadow_fn=None):
     """One path-tracing bounce on a wavefront slice — the body shared by
     the ``lax.scan`` integrator below and the width-scheduled compact
     driver (models/wavefront_compact.py), so the two cannot drift.
 
-    ``carry`` = (origins, dirs, throughput, color, alive, pix), all in
-    wavefront order at the slice's width; ``u`` [D, W] is this bounce's
-    per-ray uniform block ALREADY gathered to wavefront order.  ``sort``
-    applies the live-first coherence re-sort at the end (see
+    ``carry`` = (origins, dirs, throughput, color, alive, pix) — plus
+    (cone_width, cone_spread) when ``cfg.ray_cones`` — all in wavefront
+    order at the slice's width; ``u`` [D, W] is this bounce's per-ray
+    uniform block ALREADY gathered to wavefront order.  ``sort`` applies
+    the live-first coherence re-sort at the end (see
     ``_bounce_sort_keys``).  Returns (carry', stats) with stats =
-    (rays traced, shadow rays) for honest Mrays/s accounting."""
-    origins, dirs, throughput, color, alive, pix = carry
+    (rays traced, shadow rays) for honest Mrays/s accounting.
+
+    ``shadow_fn(closest_hit, p, l_pos, t_min, active) -> mult [N]``
+    replaces the binary occlusion test with a continuous light-visibility
+    multiplier — the hook the edge-aware renderers use to make SHADOW
+    boundaries differentiable (models/edge_aware.soft_shadow_fn); None
+    keeps ``CheckLightOccluded`` semantics."""
+    if cfg.ray_cones:
+        (origins, dirs, throughput, color, alive, pix, cwidth,
+         cspread) = carry
+        cone = (cwidth, cspread)
+    else:
+        origins, dirs, throughput, color, alive, pix = carry
+        cone = None
     num_lights = lights.count
+    takes_cone = cone is not None and _supports_kw(closest_hit, "cone")
     # Dead lanes trace with t_max = 0: compaction-aware intersectors
     # (Pallas cluster kernel) then skip their tiles outright.
     rec = closest_hit(
-        origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0)
+        origins, dirs, cfg.t_min, jnp.where(alive, jnp.inf, 0.0),
+        **({"cone": cone} if takes_cone else {})
     )
     active = alive & rec.hit
 
@@ -279,8 +303,12 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     l_col = take_small_t(lights.color, light_idx)
     l_int = take_small_t(lights.intensity[:, None], light_idx)[0]
 
-    occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
-    shadow_mult = jnp.where(occ, 0.0, 1.0)
+    if shadow_fn is None:
+        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min, active=active)
+        shadow_mult = jnp.where(occ, 0.0, 1.0)
+    else:
+        shadow_mult = shadow_fn(closest_hit, rec.p, l_pos, cfg.t_min,
+                                active)
 
     direct_spec = brdf.sample_direct(
         rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
@@ -346,6 +374,17 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     throughput = jnp.where(bc(cont), throughput * weight, throughput)
     origins = jnp.where(bc(cont), rec.p, origins)
     dirs = jnp.where(bc(cont), new_dir, dirs)
+    if cone is not None:
+        # Ray-cone update: the footprint grows along the segment, the
+        # spread widens by the sampled lobe (specular by roughness,
+        # diffuse by a constant — Akenine-Moller-style ray cones without
+        # the curvature term).
+        t_seg = jnp.where(rec.hit, rec.t, 0.0)
+        cwidth = jnp.where(cont, cwidth + t_seg * cspread, cwidth)
+        dspread = jnp.where(take_spec,
+                            cfg.cone_spec_spread * rec.mat.roughness,
+                            cfg.cone_diffuse_spread)
+        cspread = jnp.where(cont, cspread + dspread, cspread)
     # Per-bounce ray accounting: closest-hit rays entering the bounce +
     # shadow rays for paths that found a hit (for Mrays/s metrics).
     stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
@@ -358,21 +397,28 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         # (measured), row-major gathers ~5 ms.
         order = jnp.argsort(
             _bounce_sort_keys(origins, dirs, cont), stable=True)
+        extra = [] if cone is None else [cwidth[None], cspread[None]]
         packed = jnp.concatenate([
             origins, dirs, throughput, color,
             cont[None].astype(jnp.float32),
             # pix < 2^24 stays exact in f32.
             pix[None].astype(jnp.float32),
-        ], axis=0).T[order].T
+        ] + extra, axis=0).T[order].T
         origins, dirs = packed[0:3], packed[3:6]
         throughput, color = packed[6:9], packed[9:12]
         cont = packed[12] > 0.5
         pix = packed[13].astype(jnp.int32)
+        if cone is not None:
+            cwidth, cspread = packed[14], packed[15]
+    if cone is not None:
+        return (origins, dirs, throughput, color, cont, pix, cwidth,
+                cspread), stats
     return (origins, dirs, throughput, color, cont, pix), stats
 
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
-                    stream, cfg: RenderConfig, return_stats: bool = False):
+                    stream, cfg: RenderConfig, return_stats: bool = False,
+                    shadow_fn=None):
     """Trace an ``[3, N]`` ray batch to radiance ``[3, N]``.
 
     ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
@@ -405,7 +451,7 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             # Row-major gather (see the note in bounce_step).
             u = u.T[carry[5]].T
         return bounce_step(closest_hit, lights, cfg, carry, bounce, u,
-                           sort=cfg.sort_bounces)
+                           sort=cfg.sort_bounces, shadow_fn=shadow_fn)
 
     init = (
         origins,
@@ -415,9 +461,13 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
         jnp.ones((n,), bool),
         jnp.arange(n, dtype=jnp.int32),
     )
-    (origins, dirs, throughput, color, alive, pix), stats = jax.lax.scan(
+    if cfg.ray_cones:
+        init = init + (jnp.zeros((n,), jnp.float32),
+                       jnp.full((n,), cfg.primary_spread, jnp.float32))
+    out_carry, stats = jax.lax.scan(
         bounce_body, init, (jnp.arange(n_bounces), u_bounce)
     )
+    origins, dirs, throughput, color, alive, pix = out_carry[:6]
 
     # Paths that survive the static loop are truncated as a miss.
     color = color + jnp.where(bc(alive), throughput * _sky(dirs, cfg), 0.0)
@@ -434,6 +484,13 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
                        origin=None, look_at=None) -> jnp.ndarray:
     """One full-image sample: jittered primary rays + wavefront trace.
     Returns linear radiance [H, W, 3]."""
+    if cfg.ray_cones and cfg.primary_spread == 0.0:
+        # One-pixel footprint per unit t at the reference viewport
+        # (1x1 at focus_dist; camera.derive_viewport).
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, primary_spread=1.0 / (cam.focus_dist
+                                       * min(cam.width, cam.height)))
     vp = derive_viewport(cam, origin=origin, look_at=look_at)
     jitter = stream.take(2)
     # Defocus slots are drawn only when depth of field is on, keeping the

@@ -104,6 +104,9 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
         (jnp.arange(n, dtype=jnp.int32) if pix_init is None
          else jnp.asarray(pix_init, jnp.int32)),          # pix
     )
+    if cfg.ray_cones:
+        carry = carry + (jnp.zeros((n,), jnp.float32),
+                         jnp.full((n,), cfg.primary_spread, jnp.float32))
     overflow = jnp.int32(0)
     stats = []
 
@@ -130,7 +133,7 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
 
     # Paths that survive the static loop are truncated as a miss
     # (trace_wavefront parity), then the remaining slice exits.
-    origins, dirs, throughput, color, alive, pix = carry
+    origins, dirs, throughput, color, alive, pix = carry[:6]
     color = color + jnp.where(bc(alive),
                               throughput * pathtracer._sky(dirs, cfg), 0.0)
     image = image.at[pix].set(color.T)
@@ -147,6 +150,11 @@ def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
     """One full-image sample via the compacted trace; linear [H, W, 3].
     Jittable with ``schedule`` static (see ``trace_compact``)."""
     from srt_tpu.camera import derive_viewport, generate_rays
+    if cfg.ray_cones and cfg.primary_spread == 0.0:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, primary_spread=1.0 / (cam.focus_dist
+                                       * min(cam.width, cam.height)))
     vp = derive_viewport(cam, origin=origin, look_at=look_at)
     jitter = stream.take(2)
     defocus = stream.take(2) if cam.defocus_angle > 0 else None

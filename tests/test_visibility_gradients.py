@@ -111,3 +111,68 @@ def test_boundary_term_is_material():
     assert abs(g_ea - fd) < abs(g_plain - fd), (
         f"boundary term widens the FD gap: analytic {g_ea} vs fd {fd} "
         f"(plain {g_plain})")
+
+
+def _shadow_scene():
+    """A scene whose occluder touches the image ONLY through its shadow:
+    diffuse ground, one bright overhead light, a small sphere between
+    them, camera looking at the shadow patch."""
+    from srt_tpu.scene import Lights, Spheres, make_materials
+    mats = make_materials([
+        ((0.9, 0.9, 0.9), (0.1, 0.1, 0.1), 0.8, 0.0, False),  # ground
+        ((0.8, 0.2, 0.2), (0.1, 0.1, 0.1), 0.8, 0.0, False),  # occluder
+    ])
+    spheres = Spheres(
+        center=jnp.asarray([(0.0, -100.5, -2.0), (0.2, 0.5, -2.0)],
+                           jnp.float32),
+        radius=jnp.asarray([100.0, 0.3], jnp.float32),
+        materials=mats)
+    lights = Lights(
+        position=jnp.asarray([(0.0, 3.0, -2.0)], jnp.float32),
+        color=jnp.asarray([(1.0, 1.0, 1.0)], jnp.float32),
+        intensity=jnp.asarray([30.0], jnp.float32))
+    cam = CameraConfig(width=24, height=20, origin=(0.0, 0.4, -0.8),
+                       look_at=(0.0, -0.6, -2.0))
+    cfg = RenderConfig(max_depth=1, rr_bounces=0)
+    n = cam.width * cam.height
+    n_slots = rng_ops.total_slots(lights.count, 1)
+    uniforms = jnp.asarray(rng_ops.host_uniforms(31, n, n_slots))
+    return spheres, lights, cam, cfg, uniforms
+
+
+def test_soft_shadow_only_touches_boundary_band():
+    """soft_shadow_band blends only a band around the shadow edge; deep
+    shadow and fully lit pixels keep hard-shadow values."""
+    spheres, lights, cam, cfg, uniforms = _shadow_scene()
+    hard = trace_edge_aware(spheres, lights, cam, cfg,
+                            ArrayStream(uniforms))
+    soft = trace_edge_aware(spheres, lights, cam, cfg,
+                            ArrayStream(uniforms), soft_shadow_band=0.25)
+    d = np.abs(np.asarray(hard) - np.asarray(soft)).max(axis=2)
+    assert (d > 0).sum() > 10                 # the penumbra band exists
+    assert (d == 0.0).mean() > 0.5            # interior untouched
+
+
+def test_shadow_boundary_grad_matches_fd():
+    """d(mean image)/d(occluder center): path-space alone is EXACTLY zero
+    (the occluder appears only through the occlusion step function,
+    ``CheckLightOccluded``, raytrace_compute.glsl:167-176); the
+    soft-shadow reparameterization supplies the boundary term and
+    finite differences confirm it."""
+    spheres, lights, cam, cfg, uniforms = _shadow_scene()
+
+    def loss(dx, band):
+        s = spheres.replace(center=spheres.center.at[1, 0].add(dx))
+        return jnp.mean(trace_edge_aware(
+            s, lights, cam, cfg, ArrayStream(uniforms),
+            soft_shadow_band=band))
+
+    g_plain = float(jax.grad(loss)(jnp.float32(0.0), 0.0))
+    assert g_plain == 0.0                     # the zero-gradient problem
+
+    g = float(jax.grad(loss)(jnp.float32(0.0), 0.25))
+    eps = 3e-3
+    fd = (float(loss(jnp.float32(eps), 0.25))
+          - float(loss(jnp.float32(-eps), 0.25))) / (2 * eps)
+    assert np.isfinite(g) and abs(g) > 0.01   # a real, nonzero term
+    assert abs(g - fd) <= 0.05 * abs(fd), f"analytic {g} vs fd {fd}"

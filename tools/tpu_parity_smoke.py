@@ -46,7 +46,7 @@ def random_rays(n, seed, spread):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def check(name, scene, o, d):
+def check(name, scene, o, d, chunk=2048):
     from srt_tpu.models import mesh as mesh_mod
     from srt_tpu.ops.traversal_pallas import pallas_model_hit
 
@@ -55,8 +55,8 @@ def check(name, scene, o, d):
     f_p = jax.jit(lambda o_, d_: pallas_model_hit(scene, 0, o_, d_, t_max))
 
     # Dense reference in ray chunks: the [N, T] sweep at 256k x 102k would
-    # need ~100 GB; 2k-ray chunks keep it a few hundred MB.
-    chunk = 2048
+    # need ~100 GB; chunks keep it a few hundred MB (pass a smaller chunk
+    # for >200k-tri scenes — 2048 x 502k temps hit 3.8 GB each and OOM).
     assert n % chunk == 0
 
     def dense_chunk(args):
@@ -121,6 +121,20 @@ def main():
     results["cases"].append(check("102k/camera 256k", hi, o, d))
     o, d = random_rays(262144, 5, 4.0)
     results["cases"].append(check("102k/random 256k", hi, o, d))
+
+    # Airplane-class, beyond the VMEM-resident table: the HBM-streaming
+    # kernel (auto-selected over STREAM_THRESHOLD_CLUSTERS) on real
+    # Mosaic — DMA pipelining, prefetch drain, partial-super tail.
+    big = mesh_mod.upload(flatten_models([uv_sphere(360, 700, radius=2.0)],
+                                         pad_to=128))
+    from srt_tpu.ops.traversal_pallas import STREAM_THRESHOLD_CLUSTERS
+    assert big.woop.shape[0] > STREAM_THRESHOLD_CLUSTERS
+    o, d = camera_rays(256, (0.0, 1.0, 5.0), (0.0, 0.0, 0.0))
+    results["cases"].append(
+        check("503k-streamed/camera 64k", big, o, d, chunk=256))
+    o, d = random_rays(65536, 7, 4.0)
+    results["cases"].append(
+        check("503k-streamed/random 64k", big, o, d, chunk=256))
 
     ok = all(c["pass"] for c in results["cases"])
     results["pass"] = ok
