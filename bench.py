@@ -72,10 +72,23 @@ def main():
     if driver == "compact":
         from srt_tpu.models.wavefront_compact import (discover_schedule,
                                                       trace_image_compact)
-        schedule = discover_schedule(hit_fn, lights, cam, cfg,
+        # Per-bounce traversal strategy: tiled walk for coherent early
+        # bounces, ray-supercluster BINNED walk from SRT_BENCH_BINNED_FROM
+        # on (incoherent rays; late-bounce tiles union most of the scene's
+        # supers while each ray needs a handful).  <0 disables binning.
+        binned_from = int(os.environ.get("SRT_BENCH_BINNED_FROM", "1"))
+        n_bounces = cfg.max_depth + cfg.rr_bounces
+        if method == "pallas" and 0 <= binned_from < n_bounces:
+            hit_fn_binned = mesh_mod.mesh_hit_fn(scene, method=method,
+                                                 binned=True)
+            hit_fns = [hit_fn_binned if b >= binned_from else hit_fn
+                       for b in range(n_bounces)]
+        else:
+            hit_fns = hit_fn
+        schedule = discover_schedule(hit_fns, lights, cam, cfg,
                                      jax.random.key(0))
         compact = jax.jit(lambda k: trace_image_compact(
-            hit_fn, lights, cam, cfg, KeyStream(k, n), schedule,
+            hit_fns, lights, cam, cfg, KeyStream(k, n), schedule,
             return_stats=True))
 
         def runner(key):

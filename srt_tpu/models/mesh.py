@@ -515,7 +515,7 @@ def _record_material(scene: MeshScene, rec_t, u, v, t=None,
 
 def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 flip_normals: bool = True, ray_tile: int = 0,
-                kernel_tile: int = 0) -> HitFn:
+                kernel_tile: int = 0, binned: bool = False) -> HitFn:
     """Build the integrator's closest-hit callable for a mesh scene.
 
     Mirrors the model branch of ``CheckHit`` (raytrace_compute.glsl:143-161):
@@ -526,7 +526,10 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     the [tile, T] dense working set.  ``kernel_tile`` overrides the Pallas
     kernel's rays-per-tile (default DEFAULT_TILE; smaller tiles tighten
     per-tile supercluster unions for incoherent bounce rays at 2x the
-    fixed per-tile cost).
+    fixed per-tile cost).  ``binned=True`` (pallas only) uses the
+    ray-supercluster binned traversal — the incoherent-bounce mode; see
+    ``ops.traversal_pallas.pallas_model_hit``.  The compact driver feeds
+    a binned hit fn to late bounces and the tiled one to primaries.
     """
     if method == "pallas":
         import functools as _ft
@@ -544,7 +547,8 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             n_supers = (scene.woop.shape[0] + SUPER - 1) // SUPER \
                 if scene.woop is not None else 1
             kernel_tile = 128 if n_supers > 8 else DEFAULT_TILE
-        model_hit = _ft.partial(pallas_model_hit, tile=kernel_tile)
+        model_hit = _ft.partial(pallas_model_hit, tile=kernel_tile,
+                                binned=binned)
         ray_tile = 0  # the kernel tiles rays itself
     elif method == "dense":
         model_hit = _dense_model_hit

@@ -84,6 +84,17 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     """
     n = origins.shape[1]
     n_bounces = cfg.max_depth + cfg.rr_bounces
+    # ``closest_hit`` may be a per-bounce sequence: the production setup
+    # feeds the tiled Pallas walk to coherent primaries and the
+    # ray-supercluster BINNED walk (mesh_hit_fn(..., binned=True)) to
+    # incoherent later bounces — both run pathtracer.bounce_step, so the
+    # radiometry cannot drift, only the traversal strategy changes.
+    if isinstance(closest_hit, (list, tuple)):
+        hit_fns = list(closest_hit)
+        assert len(hit_fns) == n_bounces, \
+            f"{len(hit_fns)} hit fns for {n_bounces} bounces"
+    else:
+        hit_fns = [closest_hit] * n_bounces
     schedule = tuple(int(w) for w in schedule)
     assert len(schedule) == n_bounces, \
         f"schedule has {len(schedule)} widths, need {n_bounces}"
@@ -124,7 +135,7 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
         # at the current width).
         u = u_bounce[b].T[carry[5]].T
         carry, st = pathtracer.bounce_step(
-            closest_hit, lights, cfg, carry, b, u, sort=True)
+            hit_fns[b], lights, cfg, carry, b, u, sort=True)
         stats.append(st)
         if b + 1 < n_bounces:
             n_alive = jnp.sum(carry[4], dtype=jnp.int32)

@@ -257,6 +257,135 @@ def _launch_cull(rays, sbounds, tile: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
+# Per-ray cull kernel: the binned-traversal front end.
+#
+# Same slab math as _cull_kernel's pass 1, but the [tile, S] masked entry
+# distances are written out PER RAY instead of being reduced to a tile
+# union.  The binned pair expansion (``pallas_model_hit(binned=True)``)
+# groups the (ray, super) pairs super-major so each intersect-kernel tile
+# holds 128 rays that all need the SAME super — late-bounce tiles stop
+# paying for the union of 128 divergent footprints (measured r3: bounces
+# 3-4 union 34-36 of 50 supers per 128-ray tile while each ray needs only
+# a handful; tile-level culling is structurally done at that point).
+# ---------------------------------------------------------------------------
+
+GROUP = 8   # rays per bin-granule: glue costs shrink 8x vs per-ray pairs
+            # (transpose/cumsum/scatter/gather are all measured-slow XLA
+            # ops on this backend); the bounce sort makes 8 consecutive
+            # rays near-coherent, so a group's union footprint stays close
+            # to a single ray's.
+
+
+def _cull_perray_kernel(rays_ref, sb_ref, e_ref, amax_ref, *, tile: int,
+                        s_count: int):
+    """rays_ref [8*tile, 8] VMEM; sb_ref [8, S] VMEM super bounds; e_ref
+    [8*tile/GROUP, S] out — per-GROUP (8 consecutive rays, sorted ->
+    near-coherent) super entry distance, BIG = no ray in the group needs
+    the super.  All-dead rows (terminated paths packed last by the bounce
+    sort) write only the BIG fill."""
+    s = s_count
+    gpt = tile // GROUP   # groups per tile row
+
+    def r(j):
+        return sb_ref[j:j + 1, :]                     # [1, S]
+
+    for sub in range(8):
+        rays = rays_ref[sub * tile:(sub + 1) * tile, :]
+        t_max = rays[:, 6:7]
+        amax_ref[0, 0] = jnp.max(t_max)
+        e_ref[sub * gpt:(sub + 1) * gpt, :] = jnp.full(
+            (gpt, s), BIG, jnp.float32)
+
+        @pl.when(amax_ref[0, 0] > 0.0)
+        def _slab(sub=sub, rays=rays, t_max=t_max):
+            ox = rays[:, 0:1]
+            oy = rays[:, 1:2]
+            oz = rays[:, 2:3]
+            inv_x = 1.0 / rays[:, 3:4]
+            inv_y = 1.0 / rays[:, 4:5]
+            inv_z = 1.0 / rays[:, 5:6]
+            t0x = (r(0) - ox) * inv_x
+            t1x = (r(3) - ox) * inv_x
+            t0y = (r(1) - oy) * inv_y
+            t1y = (r(4) - oy) * inv_y
+            t0z = (r(2) - oz) * inv_z
+            t1z = (r(5) - oz) * inv_z
+            t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+            t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                            jnp.maximum(t0y, t1y)),
+                                jnp.maximum(t0z, t1z))
+            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
+            e_ray = jnp.where(hit, sel, BIG)          # [tile, S]
+            e_ref[sub * gpt:(sub + 1) * gpt, :] = jnp.min(
+                e_ray.reshape(gpt, GROUP, s), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _launch_cull_perray(rays, sbounds, tile: int, interpret: bool):
+    n_tiles = rays.shape[0] // tile
+    assert n_tiles % 8 == 0
+    s = sbounds.shape[1]
+    kernel = functools.partial(_cull_perray_kernel, tile=tile, s_count=s)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // 8,),
+        in_specs=[
+            pl.BlockSpec((8 * tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((rays.shape[0] // GROUP, s),
+                                       jnp.float32),
+        out_specs=pl.BlockSpec((8 * tile // GROUP, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(rays, sbounds)
+
+
+def _pair_capacity(n_groups: int, s: int, gpt: int, factor: int) -> int:
+    """Static (group, super) pair capacity: ``factor`` slots per group,
+    rounded to whole 8-tile SMEM windows of ``gpt`` groups each."""
+    cap = min(factor * n_groups, n_groups * s + s * gpt)
+    return -(-cap // (gpt * 8)) * (gpt * 8)
+
+
+def _binned_pairs(e_group, gpt: int, p_cap: int):
+    """Group the per-GROUP super occupancy into super-major pair tiles.
+
+    Returns (pair_grp [P] int32 — group id per pair slot, padding =
+    n_groups; tile_super [P/gpt, 1]; tile_counts [P/gpt, 1]; total —
+    slots the expansion actually needed, > P means overflow).
+    Gather/sort-free: per-super counts -> tile-padded cumsum offsets,
+    per-(super, group) rank via one row cumsum, one scatter of group ids
+    (out-of-capacity positions drop).  Every pair tile belongs to exactly
+    ONE super, so the intersect kernel runs it with a trivial
+    single-entry list."""
+    n_groups, s = e_group.shape
+    occ = (e_group < BIG).T.astype(jnp.int32)         # [S, G] super-major
+    cnt = jnp.sum(occ, axis=1)                        # [S]
+    cnt_pad = ((cnt + gpt - 1) // gpt) * gpt
+    ends = jnp.cumsum(cnt_pad)
+    offs = ends - cnt_pad
+    rank = jnp.cumsum(occ, axis=1) - 1                # [S, G]
+    pos = jnp.where(occ > 0, offs[:, None] + rank, p_cap)
+    grp_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n_groups), 1)
+    pair_grp = jnp.full((p_cap,), n_groups, jnp.int32).at[
+        pos.reshape(-1)].set(grp_ids.reshape(-1), mode="drop")
+    n_ptiles = p_cap // gpt
+    tile_start = jnp.arange(n_ptiles, dtype=jnp.int32) * gpt
+    tile_super = jnp.minimum(
+        jnp.searchsorted(ends, tile_start, side="right").astype(jnp.int32),
+        s - 1)[:, None]
+    tile_counts = (tile_start < ends[-1]).astype(jnp.int32)[:, None]
+    return pair_grp, tile_super, tile_counts, ends[-1]
+
+
+# ---------------------------------------------------------------------------
 # Intersect kernel: walk the ordered super list with a shrinking-t gate.
 # ---------------------------------------------------------------------------
 
@@ -538,7 +667,10 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 8, SUPER), lambda i: (0, 0, 0),
+            # Full cluster-AABB table: its leading dim is the scene's
+            # super count, NOT the list width s (the binned mode passes
+            # 1-slot lists whose entries index anywhere in the table).
+            pl.BlockSpec((cbounds.shape[0], 8, SUPER), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=woop_space),
         ],
@@ -590,7 +722,8 @@ STREAM_THRESHOLD_CLUSTERS = 1700
 
 def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                      tile: int = DEFAULT_TILE, any_hit: bool = False,
-                     refine: bool = True, stream=None):
+                     refine: bool = True, stream=None,
+                     binned: bool = False, pair_factor: int = 8):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
     strategies in models/mesh.py.  origins/dirs are [3, N] (component-first
     wavefront layout, ops/vec.py).  Returns (t [N], tri_idx [N], u, v).
@@ -601,6 +734,23 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     zero u/v — the multi-model caller (models/mesh.py) re-derives exact
     (t, u, v) once for the cross-model winner, saving per-model vertex
     gathers (row gathers cost ~ms per 256k rays on TPU).
+
+    ``binned=True`` switches to RAY-SUPERCLUSTER BINNED traversal — the
+    incoherent-bounce mode: a per-ray cull writes each ray's super
+    occupancy, (ray, super) pairs are grouped super-major into whole
+    kernel tiles (each tile = 128 rays x ONE super), and per-ray results
+    are segment-min combined.  Work becomes O(sum of per-ray footprints)
+    instead of O(tiles x union-of-128-footprints); the price is the loss
+    of the cross-super shrinking-t gate, which primaries rely on — keep
+    the default tiled walk for coherent bounces.  Pairs are binned at
+    GROUP=8-consecutive-ray granularity (the bounce sort makes those
+    near-coherent; per-ray pairs were measured glue-bound — transpose/
+    cumsum/scatter/gather each cost tens of ms at 262k rays on this
+    backend, and grouping cuts all four 8x).  Pair capacity is the
+    static ``pair_factor`` slots/group; if a launch needs more, a
+    ``lax.cond`` falls back to the tiled walk, so results are exact
+    either way (rays with footprints beyond capacity are never silently
+    truncated).
 
     Differentiability: the kernel is a pure *candidate search* — its
     outputs are the discrete winning triangle id and an fp32 candidate t
@@ -710,20 +860,69 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     )                                                          # [8, S]
 
     interpret = jax.default_backend() != "tpu"
-    if s_count == 1:
-        # Single-super scenes (<= 2,048 triangles): the ordered-list cull
-        # is pure overhead — synthesize the trivial list and let the
-        # intersect kernel's own cluster slab do all the culling.  Dead
-        # tiles still skip via a cheap XLA alive-reduce.
-        n_tiles = npad // tile
-        alive = (rays8[:, 6].reshape(n_tiles, tile).max(axis=1) > 0.0)
-        counts = alive.astype(jnp.int32)[:, None]
-        clist = jnp.zeros((n_tiles, 1), jnp.int32)
-        elist = jnp.zeros((n_tiles, 1), jnp.float32)
+    if binned and s_count > 1 and not stream:
+        e_group = _launch_cull_perray(rays8, sbounds, tile, interpret)
+        n_groups = npad // GROUP
+        gpt = tile // GROUP
+        p_cap = _pair_capacity(n_groups, s_count, gpt, pair_factor)
+        pair_grp, tile_super, tile_counts, total = _binned_pairs(
+            e_group, gpt, p_cap)
+        # Group-blocked ray rows: one gather row = GROUP whole rays.
+        rays_grp = rays8.reshape(n_groups, GROUP * 8)
+        dead_grp = jnp.tile(
+            jnp.array([0., 0., 0., 1., 1., 1., 0., 0.], jnp.float32),
+            (1, GROUP))
+        rays_grp_ext = jnp.concatenate([rays_grp, dead_grp], axis=0)
+        # Per-pair-slot ray ids for the segment-min combine (padding
+        # groups map to the npad.. overflow rows of the seg buffers).
+        pair_ray = (pair_grp[:, None] * GROUP + jnp.arange(
+            GROUP, dtype=jnp.int32)[None, :]).reshape(-1)
+        miss_i32 = jnp.int32(2 ** 30)
+
+        def _run_binned(_):
+            pr = rays_grp_ext[pair_grp].reshape(p_cap * GROUP, 8)
+            elist0 = jnp.zeros((p_cap // gpt, 1), jnp.float32)
+            pt, pi = _launch(tile_counts, tile_super, elist0, pr, cb,
+                             woop_slice, tile, interpret, any_hit=any_hit,
+                             stream=False)
+            pt, pi = pt[:, 0], pi[:, 0]
+            pt = jnp.where(pi >= 0, pt, jnp.inf)
+            seg_t = jnp.full((npad + GROUP,), jnp.inf).at[pair_ray].min(pt)
+            # Winner = smallest triangle index among pairs attaining the
+            # per-ray min t (the tiled kernel's lane tie rule).
+            win = (pi >= 0) & (pt <= seg_t[pair_ray])
+            seg_i = jnp.full((npad + GROUP,), miss_i32).at[pair_ray].min(
+                jnp.where(win, pi, miss_i32))
+            hit_m = seg_i[:npad] < miss_i32
+            t_out = jnp.where(hit_m, seg_t[:npad], rays8[:, 6])[:, None]
+            i_out = jnp.where(hit_m, seg_i[:npad], -1)[:, None]
+            return t_out, i_out
+
+        def _run_tiled(_):
+            clist, elist, counts = _launch_cull(rays8, sbounds, tile,
+                                                interpret)
+            return _launch(counts, clist, elist, rays8, cb, woop_slice,
+                           tile, interpret, any_hit=any_hit, stream=False)
+
+        out_t, out_i = jax.lax.cond(total <= p_cap, _run_binned, _run_tiled,
+                                    0)
     else:
-        clist, elist, counts = _launch_cull(rays8, sbounds, tile, interpret)
-    out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
-                           tile, interpret, any_hit=any_hit, stream=stream)
+        if s_count == 1:
+            # Single-super scenes (<= 2,048 triangles): the ordered-list
+            # cull is pure overhead — synthesize the trivial list and let
+            # the intersect kernel's own cluster slab do all the culling.
+            # Dead tiles still skip via a cheap XLA alive-reduce.
+            n_tiles = npad // tile
+            alive = (rays8[:, 6].reshape(n_tiles, tile).max(axis=1) > 0.0)
+            counts = alive.astype(jnp.int32)[:, None]
+            clist = jnp.zeros((n_tiles, 1), jnp.int32)
+            elist = jnp.zeros((n_tiles, 1), jnp.float32)
+        else:
+            clist, elist, counts = _launch_cull(rays8, sbounds, tile,
+                                                interpret)
+        out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
+                               tile, interpret, any_hit=any_hit,
+                               stream=stream)
     out_t = out_t[:n, 0]
     out_i = out_i[:n, 0]
 

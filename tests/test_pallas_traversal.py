@@ -197,3 +197,90 @@ def test_stream_mode_matches_resident():
                                    stream=True)
     np.testing.assert_array_equal(np.asarray(ia) != -1,
                                   np.asarray(ib) != -1)
+
+
+def test_binned_matches_tiled():
+    """Ray-supercluster BINNED traversal (the incoherent-bounce mode)
+    must return the SAME hits as the tiled walk — same winner index and
+    bit-equal candidate t — for fully-live and mixed live/dead
+    wavefronts, in closest-hit and any-hit modes.  Both evaluate the
+    identical Woop arithmetic on the identical cluster data; binning only
+    regroups which (ray, super) pairs each kernel tile covers."""
+    from srt_tpu.ops.traversal_pallas import pallas_model_hit
+
+    mesh = procgen.uv_sphere(40, 60)     # several superclusters
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    o, d = random_rays(1024, seed=7)
+    t_live = jnp.full((1024,), jnp.inf)
+    t_mixed = t_live.at[::3].set(0.0)    # terminated paths
+
+    for t_max in (t_live, t_mixed):
+        t_t, i_t, _, _ = pallas_model_hit(scene, 0, o, d, t_max, tile=128)
+        t_b, i_b, _, _ = pallas_model_hit(scene, 0, o, d, t_max, tile=128,
+                                          binned=True)
+        np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_b))
+        hit = np.asarray(i_t) != -1
+        np.testing.assert_array_equal(np.asarray(t_t)[hit],
+                                      np.asarray(t_b)[hit])
+        _, a_t, _, _ = pallas_model_hit(scene, 0, o, d, t_max,
+                                        any_hit=True, tile=128)
+        _, a_b, _, _ = pallas_model_hit(scene, 0, o, d, t_max,
+                                        any_hit=True, tile=128, binned=True)
+        np.testing.assert_array_equal(np.asarray(a_t) != -1,
+                                      np.asarray(a_b) != -1)
+
+
+def test_binned_overflow_falls_back_exactly():
+    """When the static pair capacity is exceeded, the lax.cond fallback
+    must run the tiled walk — results identical to binned=False, never a
+    silently truncated expansion (rays with footprints beyond capacity
+    would otherwise lose hits)."""
+    from srt_tpu.ops.traversal_pallas import pallas_model_hit
+
+    mesh = procgen.uv_sphere(40, 60)
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    o, d = random_rays(1024, seed=3)
+    t_max = jnp.full((1024,), jnp.inf)
+
+    t_t, i_t, _, _ = pallas_model_hit(scene, 0, o, d, t_max, tile=128)
+    # pair_factor=1 cannot hold the real footprints -> cond fallback.
+    t_b, i_b, _, _ = pallas_model_hit(scene, 0, o, d, t_max, tile=128,
+                                      binned=True, pair_factor=1)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_b))
+    np.testing.assert_array_equal(np.asarray(t_t), np.asarray(t_b))
+
+
+def test_compact_driver_with_per_bounce_hit_fns():
+    """trace_compact accepts a per-bounce hit-fn sequence (tiled for
+    primaries, binned for later bounces — the production split) and must
+    produce the same image and ray stats as a single tiled hit fn."""
+    import jax
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models.wavefront_compact import trace_image_compact
+    from srt_tpu.ops.rng import KeyStream
+    from srt_tpu.scene import model_scene_lights
+
+    mesh = procgen.uv_sphere(24, 36)
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    lights = model_scene_lights()
+    cam = CameraConfig(width=32, height=32, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    cfg = RenderConfig(max_depth=3, rr_bounces=0, spp=1, sort_bounces=True)
+    n = cam.width * cam.height
+    sched = (n, n, n)
+
+    tiled = mesh_mod.mesh_hit_fn(scene, method="pallas", kernel_tile=128)
+    binned = mesh_mod.mesh_hit_fn(scene, method="pallas", kernel_tile=128,
+                                  binned=True)
+    key = jax.random.key(2)
+    img1, st1, ov1 = trace_image_compact(
+        tiled, lights, cam, cfg, KeyStream(key, n), sched,
+        return_stats=True)
+    img2, st2, ov2 = trace_image_compact(
+        [tiled, binned, binned], lights, cam, cfg, KeyStream(key, n), sched,
+        return_stats=True)
+    assert int(ov1) == 0 and int(ov2) == 0
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st2))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=1e-5, atol=1e-6)
