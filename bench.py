@@ -75,8 +75,12 @@ def main():
         # Per-bounce traversal strategy: tiled walk for coherent early
         # bounces, ray-supercluster BINNED walk from SRT_BENCH_BINNED_FROM
         # on (incoherent rays; late-bounce tiles union most of the scene's
-        # supers while each ray needs a handful).  <0 disables binning.
-        binned_from = int(os.environ.get("SRT_BENCH_BINNED_FROM", "1"))
+        # supers while each ray needs a handful).  <0 disables binning —
+        # the DEFAULT: measured on the headline scene the binned pipeline
+        # only reaches parity with the tiled walk (per-ray pair glue is
+        # gather/scatter-bound on this backend; 8-ray grouping doubles
+        # eval work — tools/micro_binned.py, ROADMAP).
+        binned_from = int(os.environ.get("SRT_BENCH_BINNED_FROM", "-1"))
         n_bounces = cfg.max_depth + cfg.rr_bounces
         if method == "pallas" and 0 <= binned_from < n_bounces:
             hit_fn_binned = mesh_mod.mesh_hit_fn(scene, method=method,
