@@ -386,13 +386,253 @@ def _binned_pairs(e_group, gpt: int, p_cap: int):
 
 
 # ---------------------------------------------------------------------------
+# Per-group walk ("pgwalk"): in-kernel binned traversal at GROUP=8-ray
+# granularity — the r4 incoherent-bounce production mode.
+#
+# The r3 binned pipeline was exact but glue-bound: expanding (ray, super)
+# pairs ran as XLA transpose/cumsum/scatter/gather (tens of ms each at
+# 262k rays) and super-major grouping doubled kernel work.  pgwalk keeps
+# rays in their sorted wavefront order (NO expansion, NO gather, NO
+# combine scatter) and moves the footprint selection entirely into two
+# kernels:
+#
+# * ``_cull_gmask_kernel`` slab-tests every ray against every CLUSTER
+#   AABB (chunked — [tile, C] temporaries past ~600 clusters blow the
+#   VMEM stack, CLAUDE.md), reduces occupancy to GROUP granularity, and
+#   bit-packs each group's 16 per-super cluster bits into one int32 word
+#   via a single [C, S] matmul (exact integer arithmetic on the MXU,
+#   precision=HIGHEST).  Output: mask [G, S] int32 — group g needs
+#   cluster 16*s+k iff bit k of mask[g, s].
+# * ``_pgwalk_kernel`` walks, per group of 8 rays, exactly the clusters
+#   its mask names: the per-iteration work is one [8, 128] Woop block —
+#   a single native vreg — so a group pays for ITS footprint, not the
+#   union of 128 divergent ones (r3 measured: late-bounce tiles union
+#   34-36 of 50 supers while each ray needs ~5).  All gating decisions
+#   are SMEM scalar reads computed at cull time: the walk contains no
+#   vector->scalar round trips at all.
+#
+# The per-thread early-out of the reference walk
+# (ray_intersects.glsl:99-133) that tile unions forfeit is recovered
+# here at 8-ray granularity.  Tie rule: clusters are walked in ascending
+# index order with strict t <, so exact-t ties resolve to the smallest
+# triangle index (the dense path's argmin rule; the tiled walk resolves
+# cross-super ties to the nearest-entry super instead — identical up to
+# exact fp32 t ties).
+# ---------------------------------------------------------------------------
+
+CHUNK_C = 256  # cluster-slab chunk (lanes) for the gmask cull
+
+
+def _cull_gmask_kernel(rays_ref, cb8_ref, w_ref, mask_ref, amax_ref, *,
+                       tile: int, c_pad: int, s_count: int):
+    """rays_ref [8*tile, 8] VMEM; cb8_ref [8, Cp] VMEM per-cluster bounds
+    (rows: min xyz, max xyz, pad, pad; padding clusters carry NaN boxes —
+    every slab compare false); w_ref [Cp, S] VMEM bitpack matrix
+    (w[c, c//16] = 2^(c mod 16), zero rows for padding); mask_ref
+    [8*tile/GROUP, S] int32 out.  All-dead rows write only the zero fill.
+    """
+    s = s_count
+    gpt = tile // GROUP
+    n_chunks = c_pad // CHUNK_C
+    hi = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    for sub in range(8):
+        rays = rays_ref[sub * tile:(sub + 1) * tile, :]
+        t_max = rays[:, 6:7]
+        amax_ref[0, 0] = jnp.max(t_max)
+        mask_ref[sub * gpt:(sub + 1) * gpt, :] = jnp.zeros(
+            (gpt, s), jnp.int32)
+
+        @pl.when(amax_ref[0, 0] > 0.0)
+        def _slab(sub=sub, rays=rays, t_max=t_max):
+            ox = rays[:, 0:1]
+            oy = rays[:, 1:2]
+            oz = rays[:, 2:3]
+            inv_x = 1.0 / rays[:, 3:4]
+            inv_y = 1.0 / rays[:, 4:5]
+            inv_z = 1.0 / rays[:, 5:6]
+            acc = None
+            for ch in range(n_chunks):
+                lo = ch * CHUNK_C
+
+                def r(q, lo=lo):
+                    return cb8_ref[q:q + 1, lo:lo + CHUNK_C]   # [1, CHUNK]
+
+                t0x = (r(0) - ox) * inv_x
+                t1x = (r(3) - ox) * inv_x
+                t0y = (r(1) - oy) * inv_y
+                t1y = (r(4) - oy) * inv_y
+                t0z = (r(2) - oz) * inv_z
+                t1z = (r(5) - oz) * inv_z
+                t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                 jnp.minimum(t0y, t1y)),
+                                     jnp.minimum(t0z, t1z))
+                t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                jnp.maximum(t0y, t1y)),
+                                    jnp.maximum(t0z, t1z))
+                sel = jnp.where(t_near >= 0.0, t_near, t_far)
+                hit_c = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
+                occ = jnp.where(hit_c, 1.0, 0.0)            # [tile, CHUNK]
+                occ_g = jnp.max(occ.reshape(gpt, GROUP, CHUNK_C), axis=1)
+                part = jax.lax.dot_general(
+                    occ_g, w_ref[lo:lo + CHUNK_C, :], dn, precision=hi,
+                    preferred_element_type=jnp.float32)      # [gpt, S]
+                acc = part if acc is None else acc + part
+            mask_ref[sub * gpt:(sub + 1) * gpt, :] = acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _launch_cull_gmask(rays, cb8, w_bp, tile: int, interpret: bool):
+    n_tiles = rays.shape[0] // tile
+    assert n_tiles % 8 == 0
+    c_pad, s = w_bp.shape
+    kernel = functools.partial(_cull_gmask_kernel, tile=tile, c_pad=c_pad,
+                               s_count=s)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // 8,),
+        in_specs=[
+            pl.BlockSpec((8 * tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((rays.shape[0] // GROUP, s),
+                                       jnp.int32),
+        out_specs=pl.BlockSpec((8 * tile // GROUP, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(rays, cb8, w_bp)
+
+
+def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
+                   bt_ref, bi_ref, *, s_count: int):
+    """Per-group cluster walk.  mask_ref [8, S] int32 SMEM (row g = group
+    g's per-super cluster bit words); rays_ref [8*GROUP, 8] VMEM; woop_ref
+    [C, 16, 128] VMEM; outs [8*GROUP, 1]; bt/bi [8*GROUP, 128] VMEM
+    scratch.  One program = 8 groups = 64 rays; the 8 group walks are
+    statically unrolled so every SMEM list read indexes a static row
+    (the compile-proven pattern — dynamic-row SMEM reads inside dynamic
+    fori crashed Mosaic, ROADMAP r2)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, CLUSTER), 1)
+
+    for g in range(8):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        rays = rays_ref[sl, :]
+        ox = rays[:, 0:1]
+        oy = rays[:, 1:2]
+        oz = rays[:, 2:3]
+        dx = rays[:, 3:4]
+        dy = rays[:, 4:5]
+        dz = rays[:, 5:6]
+        t_max = rays[:, 6:7]
+        bt_ref[sl, :] = jnp.broadcast_to(t_max, (GROUP, CLUSTER))
+        bi_ref[sl, :] = jnp.full((GROUP, CLUSTER), jnp.int32(2 ** 30),
+                                 jnp.int32)
+
+        def super_body(j, carry, g=g, sl=sl, ox=ox, oy=oy, oz=oz,
+                       dx=dx, dy=dy, dz=dz):
+            m = mask_ref[g, j]
+
+            @pl.when(m > 0)
+            def _s():
+                def cl_body(k, c2):
+                    @pl.when(((m >> k) & 1) > 0)
+                    def _c():
+                        c = j * SUPER + k
+                        best_t = bt_ref[sl, :]
+                        best_i = bi_ref[sl, :]
+                        w = woop_ref[c]                   # [16, 128]
+
+                        def r(q):
+                            return w[q:q + 1, :]
+
+                        zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+                        zd = dx * r(8) + dy * r(9) + dz * r(10)
+                        parallel = jnp.abs(zd) <= r(12)
+                        den = jnp.where(parallel, 1.0, zd)
+                        inv = pl.reciprocal(den, approx=True)
+                        inv = inv * (2.0 - den * inv)     # Newton refine
+                        t = -zo * inv
+                        xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+                        xd = dx * r(0) + dy * r(1) + dz * r(2)
+                        u = xo + t * xd
+                        yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+                        yd = dx * r(4) + dy * r(5) + dz * r(6)
+                        v = yo + t * yd
+                        mm = jnp.minimum(jnp.minimum(u, v),
+                                         (1.0 + 2 * EDGE_EPS) - u - v)
+                        valid = (
+                            (mm >= -EDGE_EPS)
+                            & (~parallel)
+                            & (t > T_EPS)
+                            & (t < best_t)
+                        )
+                        bi_ref[sl, :] = jnp.where(
+                            valid, c * CLUSTER + lane, best_i)
+                        bt_ref[sl, :] = jnp.where(valid, t, best_t)
+                    return c2
+
+                jax.lax.fori_loop(0, SUPER, cl_body, 0)
+            return carry
+
+        jax.lax.fori_loop(0, s_count, super_body, 0)
+
+        # Per-group epilogue: lane min + smallest-index tie rule.
+        best_t = bt_ref[sl, :]
+        best_i = bi_ref[sl, :]
+        t_min = jnp.min(best_t, axis=1, keepdims=True)
+        hit = t_min < t_max
+        i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
+        i_min = jnp.min(i_cand, axis=1, keepdims=True)
+        out_t_ref[sl, :] = t_min
+        out_i_ref[sl, :] = jnp.where(hit, i_min, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _launch_pgwalk(mask, rays, woop, interpret: bool):
+    n_groups = rays.shape[0] // GROUP
+    assert n_groups % 8 == 0
+    s = mask.shape[1]
+    kernel = functools.partial(_pgwalk_kernel, s_count=s)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups // 8,),
+        in_specs=[
+            pl.BlockSpec((8, s), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * GROUP, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups * GROUP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * GROUP, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((8 * GROUP, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * GROUP, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8 * GROUP, CLUSTER), jnp.float32),
+                        pltpu.VMEM((8 * GROUP, CLUSTER), jnp.int32)],
+        interpret=interpret,
+    )(mask, rays, woop)
+
+
+# ---------------------------------------------------------------------------
 # Intersect kernel: walk the ordered super list with a shrinking-t gate.
 # ---------------------------------------------------------------------------
 
 def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
-                      woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref,
-                      rb_ref, tbm_ref, word_ref, done_ref, *stream_refs,
-                      tile: int, any_hit: bool, stream: bool):
+                      woop_ref, out_t_ref, out_i_ref, *rest,
+                      tile: int, any_hit: bool, stream: bool,
+                      count_evals: bool = False):
     """One ray tile vs its active superclusters of one model.
 
     counts_ref: [8, 1] int32 SMEM (8-row window, this tile's row is
@@ -438,11 +678,25 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
     semaphores persist across grid steps — a leftover signal would hand
     the next tile a stale block).  stream_refs = (wbuf [2, SUPER, 16,
     CLUSTER] VMEM, dma_sem [2], pend [1,1] SMEM).
+
+    ``count_evals=True`` (instrumentation, off in production) adds an
+    SMEM counters output [8, 2] int32 — per tile: supers processed (gate
+    passed) and clusters evaluated (popcount of the per-super cluster
+    word) — the ground truth for the roofline analysis
+    (tools/eval_counts.py, ROADMAP).
     """
+    rest = list(rest)
+    ctr_ref = rest.pop(0) if count_evals else None
+    ec_ref = rest.pop() if count_evals else None
+    bt_ref, bi_ref, rb_ref, tbm_ref, word_ref, done_ref = rest[:6]
+    stream_refs = rest[6:]
     if stream:
         wbuf_ref, dma_sem, pend_ref = stream_refs
 
     row = jax.lax.rem(pl.program_id(0), 8)
+    if count_evals:
+        ec_ref[0, 0] = 0
+        ec_ref[0, 1] = 0
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER), 1)
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
@@ -516,11 +770,18 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
             sel = jnp.where(t_near >= 0.0, t_near, t_far)
             enters = (t_near <= t_far) & (t_far >= 0.0) & (sel < ray_best)
             occ16 = jnp.any(enters, axis=0, keepdims=True)        # [1, 16]
-            pw = jnp.exp2(jax.lax.broadcasted_iota(
-                jnp.int32, (1, SUPER), 1).astype(jnp.float32))
+            # Exact powers of two via integer shifts (jnp.exp2 is inexact
+            # on some backends — exp2(15) = 32767.98 — and the truncating
+            # int cast below would then drop the top cluster bits).
+            pw = (jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (1, SUPER), 1)).astype(jnp.float32)
             word_ref[0, 0] = jnp.sum(
                 jnp.where(occ16, pw, 0.0)).astype(jnp.int32)
             w_bits = word_ref[0, 0]
+            if count_evals:
+                ec_ref[0, 0] = ec_ref[0, 0] + 1
+                ec_ref[0, 1] = ec_ref[0, 1] + jnp.sum(
+                    jnp.where(occ16, 1.0, 0.0)).astype(jnp.int32)
 
             for k in range(SUPER):
                 @pl.when(((w_bits >> k) & 1) > 0)
@@ -618,12 +879,17 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
         out_t_ref[:] = t_min
         out_i_ref[:] = jnp.where(hit, i_min, -1)
 
+    if count_evals:
+        ctr_ref[row, 0] = ec_ref[0, 0]
+        ctr_ref[row, 1] = ec_ref[0, 1]
+
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "interpret", "any_hit",
-                                    "stream"))
+                                    "stream", "count_evals"))
 def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
-            interpret: bool, any_hit: bool = False, stream: bool = False):
+            interpret: bool, any_hit: bool = False, stream: bool = False,
+            count_evals: bool = False):
     """counts [n_tiles, 1], clist/elist [n_tiles, S], rays [n_tiles*tile, 8],
     cbounds [S, 8, 16], woop [C, 16, 128]; one tile per program; SMEM
     windows are 8-column blocks (Mosaic block-shape constraint), the kernel
@@ -639,7 +905,7 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
         assert woop.shape[0] % SUPER == 0, \
             "stream mode needs the Woop table padded to whole supers"
     kernel = functools.partial(_intersect_kernel, tile=tile, any_hit=any_hit,
-                               stream=stream)
+                               stream=stream, count_evals=count_evals)
     woop_space = pltpu.ANY if stream else pltpu.VMEM
     scratch = [
         pltpu.VMEM((tile, CLUSTER), jnp.float32),
@@ -655,6 +921,21 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1, 1), jnp.int32),
         ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if count_evals:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32))
+        out_specs.append(pl.BlockSpec((8, 2), lambda i: (i // 8, 0),
+                                      memory_space=pltpu.SMEM))
+        scratch.append(pltpu.SMEM((1, 2), jnp.int32))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -674,16 +955,8 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=woop_space),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
     )(counts, clist, elist, rays, cbounds, woop)
@@ -723,7 +996,8 @@ STREAM_THRESHOLD_CLUSTERS = 1700
 def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                      tile: int = DEFAULT_TILE, any_hit: bool = False,
                      refine: bool = True, stream=None,
-                     binned: bool = False, pair_factor: int = 8):
+                     binned: bool = False, pair_factor: int = 8,
+                     count_evals: bool = False):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
     strategies in models/mesh.py.  origins/dirs are [3, N] (component-first
     wavefront layout, ops/vec.py).  Returns (t [N], tri_idx [N], u, v).
@@ -860,7 +1134,34 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     )                                                          # [8, S]
 
     interpret = jax.default_backend() != "tpu"
-    if binned and s_count > 1 and not stream:
+    if count_evals and binned:
+        raise ValueError("count_evals instrumentation covers the tiled "
+                         "walk only")
+    if binned == "pg" and s_count > 1 and not stream:
+        # Per-group walk: cluster-occupancy bit masks from the gmask cull
+        # drive a per-8-ray-group cluster walk — no pair expansion, no
+        # gather/scatter, rays stay in wavefront order (see the pgwalk
+        # section above).
+        c_cpad = -(-n_clusters // CHUNK_C) * CHUNK_C
+        nan_pad = ((0, c_cpad - n_clusters), (0, 0))
+        cmin_c = jnp.pad(cmin, nan_pad, constant_values=jnp.nan)
+        cmax_c = jnp.pad(cmax, nan_pad, constant_values=jnp.nan)
+        cb8 = jnp.concatenate(
+            [cmin_c.T, cmax_c.T, jnp.zeros((2, c_cpad), jnp.float32)],
+            axis=0)                                        # [8, Cp]
+        c_idx = jnp.arange(c_cpad)
+        # Exact powers of two via integer shifts: jnp.exp2 is INEXACT on
+        # this backend (exp2(15) = 32767.98) and the truncating int cast
+        # after the bitpack matmul would silently drop bits.
+        pow2 = (jnp.int32(1) << (c_idx % SUPER)).astype(jnp.float32)
+        w_bp = jnp.where(
+            (c_idx[:, None] < n_clusters)
+            & (c_idx[:, None] // SUPER
+               == jnp.arange(s_count)[None, :]),
+            pow2[:, None], 0.0).astype(jnp.float32)        # [Cp, S]
+        mask = _launch_cull_gmask(rays8, cb8, w_bp, tile, interpret)
+        out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice, interpret)
+    elif binned and s_count > 1 and not stream:
         e_group = _launch_cull_perray(rays8, sbounds, tile, interpret)
         n_groups = npad // GROUP
         gpt = tile // GROUP
@@ -920,9 +1221,13 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
         else:
             clist, elist, counts = _launch_cull(rays8, sbounds, tile,
                                                 interpret)
-        out_t, out_i = _launch(counts, clist, elist, rays8, cb, woop_slice,
-                               tile, interpret, any_hit=any_hit,
-                               stream=stream)
+        res = _launch(counts, clist, elist, rays8, cb, woop_slice,
+                      tile, interpret, any_hit=any_hit,
+                      stream=stream, count_evals=count_evals)
+        if count_evals:
+            out_t, out_i, ctr = res
+        else:
+            out_t, out_i = res
     out_t = out_t[:n, 0]
     out_i = out_i[:n, 0]
 
@@ -930,7 +1235,9 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     idx = jnp.where(hit, out_i + lo, -1)
     if any_hit or not refine:
         zeros = jnp.zeros_like(out_t)
-        return jnp.where(hit, out_t, jnp.inf), idx, zeros, zeros
+        out = (jnp.where(hit, out_t, jnp.inf), idx, zeros, zeros)
+        return out + (ctr,) if count_evals else out
     t, u, v = _exact_refine(scene, idx, o_m, d_m)
     t = jnp.where(hit, t, jnp.inf)
-    return t, idx, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+    out = (t, idx, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0))
+    return out + (ctr,) if count_evals else out
