@@ -569,7 +569,8 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 # Kernel candidates only; exact (t, u, v) is re-derived once
                 # for the cross-model winner below (one gather, not 3/model).
                 t, i, u, v = model_hit(scene, b, origins, dirs, best_t,
-                                       any_hit=any_hit, refine=False)
+                                       any_hit=any_hit, refine=False,
+                                       t_min=t_min)
             else:
                 t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
             better = (i != MISS) & (t < best_t) & (t > t_min)

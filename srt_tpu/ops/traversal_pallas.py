@@ -510,7 +510,7 @@ def _launch_cull_gmask(rays, cb8, w_bp, tile: int, interpret: bool):
 
 
 def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
-                   bt_ref, bi_ref, *, s_count: int):
+                   bt_ref, bi_ref, *, s_count: int, any_hit: bool = False):
     """Per-group cluster walk.  mask_ref [8, S] int32 SMEM (row g = group
     g's per-super cluster bit words); rays_ref [8*GROUP, 8] VMEM; woop_ref
     [C, 16, 128] VMEM; outs [8*GROUP, 1]; bt/bi [8*GROUP, 128] VMEM
@@ -530,6 +530,7 @@ def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
         dy = rays[:, 4:5]
         dz = rays[:, 5:6]
         t_max = rays[:, 6:7]
+        t_lo = rays[:, 7:8] if any_hit else None  # any-hit t_min bound
         bt_ref[sl, :] = jnp.broadcast_to(t_max, (GROUP, CLUSTER))
         bi_ref[sl, :] = jnp.full((GROUP, CLUSTER), jnp.int32(2 ** 30),
                                  jnp.int32)
@@ -572,6 +573,8 @@ def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
                             & (t > T_EPS)
                             & (t < best_t)
                         )
+                        if any_hit:
+                            valid = valid & (t > t_lo)
                         bi_ref[sl, :] = jnp.where(
                             valid, c * CLUSTER + lane, best_i)
                         bt_ref[sl, :] = jnp.where(valid, t, best_t)
@@ -593,12 +596,13 @@ def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
         out_i_ref[sl, :] = jnp.where(hit, i_min, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _launch_pgwalk(mask, rays, woop, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
+def _launch_pgwalk(mask, rays, woop, interpret: bool,
+                   any_hit: bool = False):
     n_groups = rays.shape[0] // GROUP
     assert n_groups % 8 == 0
     s = mask.shape[1]
-    kernel = functools.partial(_pgwalk_kernel, s_count=s)
+    kernel = functools.partial(_pgwalk_kernel, s_count=s, any_hit=any_hit)
     return pl.pallas_call(
         kernel,
         grid=(n_groups // 8,),
@@ -705,6 +709,7 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
     dy = rays_ref[:, 4:5]
     dz = rays_ref[:, 5:6]
     t_max = rays_ref[:, 6:7]
+    t_lo = rays_ref[:, 7:8] if any_hit else None  # any-hit t_min bound
 
     # Default outputs; overwritten when the tile has active supers.  Tiles
     # whose rays are all dead (t_max == 0, set by the integrator for
@@ -828,6 +833,8 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
                         & (t > T_EPS)
                         & (t < best_t)
                     )
+                    if any_hit:
+                        valid = valid & (t > t_lo)
                     bi_ref[:] = jnp.where(valid, base + lane, best_i)
                     bt_ref[:] = jnp.where(valid, t, best_t)
 
@@ -997,7 +1004,7 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                      tile: int = DEFAULT_TILE, any_hit: bool = False,
                      refine: bool = True, stream=None,
                      binned: bool = False, pair_factor: int = 8,
-                     count_evals: bool = False):
+                     count_evals: bool = False, t_min: float = 0.0):
     """Closest hit of rays against model ``b``; drop-in for the dense/bvh
     strategies in models/mesh.py.  origins/dirs are [3, N] (component-first
     wavefront layout, ops/vec.py).  Returns (t [N], tri_idx [N], u, v).
@@ -1080,6 +1087,15 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     t_eff = jnp.minimum(
         jnp.broadcast_to(jnp.asarray(t_best, jnp.float32), (n,)), t_clip)
 
+    # Any-hit mode threads the caller's t_min lower bound into the kernel
+    # (rays column 7) so every mode — tiled early-out, binned, pgwalk —
+    # applies the epsilon to candidates identically BEFORE selecting the
+    # returned hit: a sub-t_min self-hit can no longer satisfy the
+    # early-out / win the min and flip occlusion between modes (r3
+    # advisor).  Closest-hit keeps the T_EPS-only kernel test so all
+    # traversal strategies (dense/bvh/pallas) stay bit-compatible.
+    t_min_any = t_min if any_hit else 0.0
+
     def padded(x, fill=0.0):
         return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),),
                        constant_values=fill)
@@ -1093,7 +1109,9 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     # are non-differentiable candidate searches; gradients flow through the
     # exact refine of the winner only (see docstring).
     rays8 = sg(jnp.concatenate(
-        [o_p, d_p, t_p[None, :], jnp.zeros((1, npad), jnp.float32)], axis=0
+        [o_p, d_p, t_p[None, :],
+         jnp.broadcast_to(jnp.asarray(t_min_any, jnp.float32),
+                          (1, npad))], axis=0
     ).T)
     woop_slice = sg(scene.woop[c_lo:c_lo + n_clusters])
     if stream:
@@ -1160,7 +1178,8 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                == jnp.arange(s_count)[None, :]),
             pow2[:, None], 0.0).astype(jnp.float32)        # [Cp, S]
         mask = _launch_cull_gmask(rays8, cb8, w_bp, tile, interpret)
-        out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice, interpret)
+        out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice, interpret,
+                                      any_hit=any_hit)
     elif binned and s_count > 1 and not stream:
         e_group = _launch_cull_perray(rays8, sbounds, tile, interpret)
         n_groups = npad // GROUP
@@ -1190,7 +1209,12 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
             pt = jnp.where(pi >= 0, pt, jnp.inf)
             seg_t = jnp.full((npad + GROUP,), jnp.inf).at[pair_ray].min(pt)
             # Winner = smallest triangle index among pairs attaining the
-            # per-ray min t (the tiled kernel's lane tie rule).
+            # per-ray min t — the tiled kernel's WITHIN-super lane tie
+            # rule.  ACROSS supers the tiled walk's strict per-lane
+            # ``t < best_t`` update lets the nearest-ENTRY super keep an
+            # exact-t tie instead; the two modes are therefore identical
+            # up to exact fp32 t ties across superclusters (measure-zero;
+            # the refined u/v/normal can differ there).
             win = (pi >= 0) & (pt <= seg_t[pair_ray])
             seg_i = jnp.full((npad + GROUP,), miss_i32).at[pair_ray].min(
                 jnp.where(win, pi, miss_i32))

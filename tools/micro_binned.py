@@ -12,25 +12,32 @@ from srt_tpu.utils import procgen
 from srt_tpu.utils.flatten import flatten_models
 import srt_tpu.ops.traversal_pallas as tp
 
+INTERP = jax.default_backend() != "tpu"  # run off-TPU in interpret mode
+
 scene = mesh_mod.upload(flatten_models([procgen.uv_sphere(160, 320, radius=2.0)], pad_to=128))
 print("clusters", scene.woop.shape[0], "supers", -(-scene.woop.shape[0]//tp.SUPER), flush=True)
 
 key = jax.random.key(0)
 n = 262144
-k1, k2 = jax.random.split(key)
-u = jax.random.normal(k1, (3, n)); o = 2.0 * u / jnp.linalg.norm(u, axis=0)
-v = jax.random.normal(k2, (3, n)); d = v / jnp.linalg.norm(v, axis=0)
-t_max = jnp.full((n,), jnp.inf)
-
-# Bounce-sort analog: order rays by (origin cell, direction cone) so
+# One jit for the whole ray setup + bounce-sort analog: eager JAX on the
+# pinned TPU backend compiles each op remotely at seconds apiece
+# (CLAUDE.md); the sort orders rays by (origin cell, direction cone) so
 # 8-consecutive groups are coherent, like the in-frame wavefront.
 from srt_tpu.models.pathtracer import _bounce_sort_keys
-try:
+
+@jax.jit
+def _setup(key):
+    k1, k2 = jax.random.split(key)
+    u = jax.random.normal(k1, (3, n))
+    o = 2.0 * u / jnp.linalg.norm(u, axis=0)
+    v = jax.random.normal(k2, (3, n))
+    d = v / jnp.linalg.norm(v, axis=0)
     keys = _bounce_sort_keys(o, d, jnp.ones((n,), bool))
     order = jnp.argsort(keys)
-except Exception:
-    order = jnp.argsort(jnp.floor(o[0]*4)*1000 + d[0])
-o_s, d_s = o[:, order], d[:, order]
+    return o, d, o[:, order], d[:, order]
+
+o, d, o_s, d_s = _setup(key)
+t_max = jnp.full((n,), jnp.inf)
 
 def timeit(f, *a, reps=5):
     r = f(*a); jax.block_until_ready(r)
@@ -73,7 +80,7 @@ def front(o, d, t_max):
 rays8, sb = jax.jit(front)(o_s, d_s, t_max)
 npad = rays8.shape[0]; s_count = sb.shape[1]
 G = tp.GROUP; gpt = tile // G; n_groups = npad // G
-cull = jax.jit(lambda r, s: tp._launch_cull_perray(r, s, tile, False))
+cull = jax.jit(lambda r, s: tp._launch_cull_perray(r, s, tile, INTERP))
 e = cull(rays8, sb)
 print("stage cull  %.1f ms" % (timeit(cull, rays8, sb)*1e3), flush=True)
 occ = np.asarray((e < tp.BIG).sum(axis=1))
@@ -100,7 +107,7 @@ def kern(tile_counts, tile_super, pr):
         cmin_n.reshape(s_c, tp.SUPER, 3).transpose(0,2,1),
         cmax_n.reshape(s_c, tp.SUPER, 3).transpose(0,2,1),
         jnp.zeros((s_c, 2, tp.SUPER), jnp.float32)], axis=1)
-    return tp._launch(tile_counts, tile_super, elist0, pr, cb, scene.woop, tile, False)
+    return tp._launch(tile_counts, tile_super, elist0, pr, cb, scene.woop, tile, INTERP)
 kj = jax.jit(kern)
 out = kj(tile_counts, tile_super, pr)
 print("stage kern  %.1f ms" % (timeit(kj, tile_counts, tile_super, pr)*1e3), flush=True)
