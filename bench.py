@@ -72,21 +72,44 @@ def main():
     if driver == "compact":
         from srt_tpu.models.wavefront_compact import (discover_schedule,
                                                       trace_image_compact)
-        # Per-bounce traversal strategy: tiled walk for coherent early
-        # bounces, ray-supercluster BINNED walk from SRT_BENCH_BINNED_FROM
-        # on (incoherent rays; late-bounce tiles union most of the scene's
-        # supers while each ray needs a handful).  <0 disables binning —
-        # the DEFAULT: measured on the headline scene the binned pipeline
-        # only reaches parity with the tiled walk (per-ray pair glue is
-        # gather/scatter-bound on this backend; 8-ray grouping doubles
-        # eval work — tools/micro_binned.py, ROADMAP).
-        binned_from = int(os.environ.get("SRT_BENCH_BINNED_FROM", "-1"))
+        # Per-bounce, per-query-kind traversal strategy (measured r4,
+        # tools/micro_pgwalk + ewidth sweeps on the headline scene):
+        # coherent primaries keep the tiled supercluster walk; incoherent
+        # later bounces switch to the per-group walk ("pg2:G:W" — G-ray
+        # groups with W-wide ILP evals, ops/traversal_pallas), which cut
+        # bounce-3/4 closest-hit time ~1.9x bit-exactly.  Shadow rays get
+        # their own schedule (short clipped segments, different
+        # footprints).  Env overrides: SRT_BENCH_WALKS /
+        # SRT_BENCH_WALKS_SHADOW = comma lists of per-bounce modes
+        # ("tiled" | "binned" | "pg2:G:W"); the last entry extends to
+        # deeper bounces.
         n_bounces = cfg.max_depth + cfg.rr_bounces
-        if method == "pallas" and 0 <= binned_from < n_bounces:
-            hit_fn_binned = mesh_mod.mesh_hit_fn(scene, method=method,
-                                                 binned=True)
-            hit_fns = [hit_fn_binned if b >= binned_from else hit_fn
-                       for b in range(n_bounces)]
+        walks = os.environ.get(
+            "SRT_BENCH_WALKS", "tiled,pg2:64:4,pg2:32:4,pg2:16:4")
+        walks_sh = os.environ.get(
+            "SRT_BENCH_WALKS_SHADOW", "pg2:64:4")
+
+        def parse(spec):
+            out = []
+            for tok in spec.split(","):
+                tok = tok.strip()
+                out.append(False if tok == "tiled"
+                           else True if tok == "binned" else tok)
+            while len(out) < n_bounces:
+                out.append(out[-1])
+            return out[:n_bounces]
+
+        if method == "pallas":
+            modes, modes_sh = parse(walks), parse(walks_sh)
+            cache = {}
+
+            def hf(m, ms):
+                if (m, ms) not in cache:
+                    cache[(m, ms)] = mesh_mod.mesh_hit_fn(
+                        scene, method=method, binned=m, binned_anyhit=ms)
+                return cache[(m, ms)]
+
+            hit_fns = [hf(m, ms) for m, ms in zip(modes, modes_sh)]
         else:
             hit_fns = hit_fn
         schedule = discover_schedule(hit_fns, lights, cam, cfg,

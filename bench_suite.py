@@ -395,6 +395,86 @@ def config8_streamed_large_scene():
          vs_baseline=float(finite))
 
 
+def config9_textured_headline():
+    """Texture fetch in the measured hot path: the headline scene with a
+    procedurally generated diffuse map through the mip atlas + ray-cone
+    LOD — the reference's flagship usage (bindless fetch,
+    raytrace_utils.glsl:140-175, gpu_texture.h:20-143).  Reports textured
+    Mrays/s; vs_baseline is the textured/untextured throughput ratio so
+    the in-kernel atlas-gather cost is visible round over round."""
+    import jax
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.atlas import pack_atlas
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import uv_sphere
+
+    rows = 40 if SMALL else 160
+    cols = 60 if SMALL else 320
+    mesh_data = uv_sphere(rows, cols, radius=2.0)
+    flat = flatten_models([mesh_data], pad_to=128)
+
+    # Procedural 512x512 diffuse map (checker x gradient) + 6-level mips.
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32) / 512.0
+    checker = ((np.floor(xx * 16) + np.floor(yy * 16)) % 2)
+    img = np.stack([0.2 + 0.6 * checker, 0.3 + 0.5 * yy,
+                    0.8 - 0.5 * xx], axis=-1).astype(np.float32)
+    atlas = pack_atlas([img], mip_levels=6)
+
+    import jax.numpy as jnp
+    size = 128 if SMALL else 1024
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    method = "pallas" if jax.default_backend() == "tpu" else "dense"
+    cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1,
+                       sort_bounces=(method == "pallas"), ray_cones=True)
+    lights = model_scene_lights()
+
+    from srt_tpu.camera import derive_viewport, generate_rays
+    from srt_tpu.ops.rng import KeyStream
+    n = size * size
+
+    def make_run(scene):
+        hit = mesh_mod.mesh_hit_fn(scene, method=method, ray_tile=4096)
+
+        def run(key):
+            stream = KeyStream(key, n)
+            vp = derive_viewport(cam)
+            jitter = stream.take(2)
+            o, d = generate_rays(vp, cam.width, cam.height, jitter)
+            return pathtracer.trace_wavefront(hit, lights, o, d, stream,
+                                              cfg, return_stats=True)
+        return run
+
+    plain = mesh_mod.upload(flat)
+    tex = mesh_mod.upload(
+        flat, atlas=atlas.image, atlas_rects=atlas.rects,
+        atlas_mip_rects=atlas.mip_rects,
+        mip_lod_scale=512.0 / (2.0 * np.pi * 2.0),  # texels per world unit
+    )
+    tex = tex.replace(
+        mat_use_texture=jnp.ones_like(tex.mat_use_texture),
+        mat_tex_index=jnp.zeros_like(tex.mat_tex_index),
+    )
+
+    (color_t, stats), dt_tex = _timed(jax.jit(make_run(tex)),
+                                      jax.random.key(0), reps=3)
+    (_, _), dt_plain = _timed(jax.jit(make_run(plain)), jax.random.key(0),
+                              reps=3)
+    rays = int(np.asarray(stats).sum())
+    finite = bool(np.isfinite(np.asarray(color_t)).all())
+    mrays = rays / dt_tex / 1e6
+    emit(metric=f"config9 textured {mesh_data.num_triangles}tri "
+                f"{size}x{size} fwd ({method}, mip atlas + ray cones; "
+                f"finite={finite})",
+         value=round(mrays, 2), unit="Mrays/s",
+         vs_baseline=round(dt_plain / dt_tex, 3))
+
+
 ALL = {
     "1": config1_oracle_parity,
     "2": config2_spheres_diff,
@@ -404,6 +484,7 @@ ALL = {
     "6": config6_mesh_bwd,
     "7": config7_mesh_scaling,
     "8": config8_streamed_large_scene,
+    "9": config9_textured_headline,
 }
 
 if __name__ == "__main__":

@@ -515,7 +515,8 @@ def _record_material(scene: MeshScene, rec_t, u, v, t=None,
 
 def mesh_hit_fn(scene: MeshScene, method: str = "dense",
                 flip_normals: bool = True, ray_tile: int = 0,
-                kernel_tile: int = 0, binned: bool = False) -> HitFn:
+                kernel_tile: int = 0, binned=False,
+                binned_anyhit=None) -> HitFn:
     """Build the integrator's closest-hit callable for a mesh scene.
 
     Mirrors the model branch of ``CheckHit`` (raytrace_compute.glsl:143-161):
@@ -526,10 +527,14 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
     the [tile, T] dense working set.  ``kernel_tile`` overrides the Pallas
     kernel's rays-per-tile (default DEFAULT_TILE; smaller tiles tighten
     per-tile supercluster unions for incoherent bounce rays at 2x the
-    fixed per-tile cost).  ``binned=True`` (pallas only) uses the
-    ray-supercluster binned traversal — the incoherent-bounce mode; see
-    ``ops.traversal_pallas.pallas_model_hit``.  The compact driver feeds
-    a binned hit fn to late bounces and the tiled one to primaries.
+    fixed per-tile cost).  ``binned`` (pallas only) selects the traversal
+    walk: False = tiled supercluster walk, True = r3 pair-binned mode,
+    "pg2:G:W" = the per-group walk at G-ray groups with W-wide evals (the
+    incoherent-bounce production mode; see
+    ``ops.traversal_pallas.pallas_model_hit``).  ``binned_anyhit``
+    overrides the walk for any-hit (shadow) queries only — shadow and
+    bounce rays have different footprints, so the compact driver picks
+    per-bounce AND per-query-kind strategies (None = same as ``binned``).
     """
     if method == "pallas":
         import functools as _ft
@@ -549,6 +554,11 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             kernel_tile = 128 if n_supers > 8 else DEFAULT_TILE
         model_hit = _ft.partial(pallas_model_hit, tile=kernel_tile,
                                 binned=binned)
+        if binned_anyhit is not None:
+            model_hit_any = _ft.partial(pallas_model_hit, tile=kernel_tile,
+                                        binned=binned_anyhit)
+        else:
+            model_hit_any = model_hit
         ray_tile = 0  # the kernel tiles rays itself
     elif method == "dense":
         model_hit = _dense_model_hit
@@ -568,9 +578,10 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
             if method == "pallas":
                 # Kernel candidates only; exact (t, u, v) is re-derived once
                 # for the cross-model winner below (one gather, not 3/model).
-                t, i, u, v = model_hit(scene, b, origins, dirs, best_t,
-                                       any_hit=any_hit, refine=False,
-                                       t_min=t_min)
+                mh = model_hit_any if any_hit else model_hit
+                t, i, u, v = mh(scene, b, origins, dirs, best_t,
+                                any_hit=any_hit, refine=False,
+                                t_min=t_min)
             else:
                 t, i, u, v = model_hit(scene, b, origins, dirs, best_t)
             better = (i != MISS) & (t < best_t) & (t > t_min)

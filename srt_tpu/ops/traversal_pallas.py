@@ -509,6 +509,332 @@ def _launch_cull_gmask(rays, cb8, w_bp, tile: int, interpret: bool):
     )(rays, cb8, w_bp)
 
 
+def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
+                     counts_ref, mf_ref, e_ref, amax_ref, *, tile: int,
+                     c_pad: int, s_count: int, group: int = GROUP):
+    """pgwalk v2 cull: per-GROUP compacted, entry-ordered (super, cluster
+    bits) lists.
+
+    rays_ref [8*tile, 8] VMEM; cb8_ref [8, Cp] cluster bounds; w_ref
+    [Cp, S] bitpack matrix; sb_ref [8, S] super bounds.  Outputs, per
+    group of GROUP=8 consecutive rays: clist [G, S] int32 (super ids,
+    near-to-far by super entry), bits [G, S] int32 (the listed super's
+    16 cluster-occupancy bits, aligned with clist), counts [G, 1] int32.
+    Scratch mf/e [8*tile/GROUP, S] f32 hold the per-group cluster-bit
+    values and super entries for the whole program so the rank-select
+    relayout dots batch all 128 groups at once.
+
+    The rank-select is _cull_kernel pass 2 at group granularity: the
+    same gather-free one-hot-matmul compaction, with the entry/occ/bits
+    columns delivered by three batched [S, 128] identity-dot relayouts.
+    """
+    s = s_count
+    gpt = tile // group
+    n_chunks = c_pad // CHUNK_C
+    hi = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+    dn_t = (((1,), (1,)), ((), ()))
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1).astype(
+        jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(
+        jnp.float32)
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+             ).astype(jnp.float32)
+
+    # Phase A+B: per-group cluster-bit values and super entries.
+    for sub in range(8):
+        rays = rays_ref[sub * tile:(sub + 1) * tile, :]
+        t_max = rays[:, 6:7]
+        amax_ref[0, 0] = jnp.max(t_max)
+        rows = slice(sub * gpt, (sub + 1) * gpt)
+        mf_ref[rows, :] = jnp.zeros((gpt, s), jnp.float32)
+        e_ref[rows, :] = jnp.full((gpt, s), BIG, jnp.float32)
+
+        @pl.when(amax_ref[0, 0] > 0.0)
+        def _slab(sub=sub, rays=rays, t_max=t_max, rows=rows):
+            ox = rays[:, 0:1]
+            oy = rays[:, 1:2]
+            oz = rays[:, 2:3]
+            inv_x = 1.0 / rays[:, 3:4]
+            inv_y = 1.0 / rays[:, 4:5]
+            inv_z = 1.0 / rays[:, 5:6]
+
+            def slab(lo_r, hi_r):
+                t0x = (lo_r(0) - ox) * inv_x
+                t1x = (hi_r(0) - ox) * inv_x
+                t0y = (lo_r(1) - oy) * inv_y
+                t1y = (hi_r(1) - oy) * inv_y
+                t0z = (lo_r(2) - oz) * inv_z
+                t1z = (hi_r(2) - oz) * inv_z
+                t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                 jnp.minimum(t0y, t1y)),
+                                     jnp.minimum(t0z, t1z))
+                t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                jnp.maximum(t0y, t1y)),
+                                    jnp.maximum(t0z, t1z))
+                sel = jnp.where(t_near >= 0.0, t_near, t_far)
+                hit_b = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
+                return hit_b, sel
+
+            acc = None
+            for ch in range(n_chunks):
+                lo = ch * CHUNK_C
+                hit_c, _ = slab(
+                    lambda q, lo=lo: cb8_ref[q:q + 1, lo:lo + CHUNK_C],
+                    lambda q, lo=lo: cb8_ref[q + 3:q + 4, lo:lo + CHUNK_C])
+                occ = jnp.where(hit_c, 1.0, 0.0)
+                occ_g = jnp.max(occ.reshape(gpt, group, CHUNK_C), axis=1)
+                part = jax.lax.dot_general(
+                    occ_g, w_ref[lo:lo + CHUNK_C, :], dn, precision=hi,
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            mf_ref[rows, :] = acc
+
+            hit_s, sel_s = slab(lambda q: sb_ref[q:q + 1, :],
+                                lambda q: sb_ref[q + 3:q + 4, :])
+            e_ray = jnp.where(hit_s, sel_s, BIG)           # [tile, S]
+            e_ref[rows, :] = jnp.min(e_ray.reshape(gpt, group, s), axis=1)
+
+    # Phase C: per-group rank-select.  Occupancy comes from the CLUSTER
+    # bits (tighter than the super slab); a super whose cluster bits are
+    # set but whose slab entry rounded to BIG sorts first (harmless).
+    mf_all = mf_ref[:]                                     # [128, S]
+    occ_all = (mf_all > 0.0).astype(jnp.float32)
+    e_all = jnp.where((occ_all > 0.0) & (e_ref[:] >= BIG), 0.0, e_ref[:])
+    counts_ref[:] = jnp.sum(occ_all, axis=1,
+                            keepdims=True).astype(jnp.int32)
+    e_t = jax.lax.dot_general(ident, e_all, dn_t, precision=hi,
+                              preferred_element_type=jnp.float32)  # [S,128]
+    o_t = jax.lax.dot_general(ident, occ_all, dn_t, precision=hi,
+                              preferred_element_type=jnp.float32)
+    m_t = jax.lax.dot_general(ident, mf_all, dn_t, precision=hi,
+                              preferred_element_type=jnp.float32)
+    for g in range(8 * (tile // group)):
+        entry = e_all[g:g + 1, :]                          # [1, S]
+        occ = occ_all[g:g + 1, :]
+        e_s = e_t[:, g:g + 1]                              # [S, 1]
+        o_s = o_t[:, g:g + 1]
+        m_s = m_t[:, g:g + 1]
+        before = jnp.where(
+            (entry < e_s) | ((entry == e_s) & (iota_l < iota_s)), occ, 0.0)
+        rank_s = jnp.sum(before, axis=1, keepdims=True)    # [S, 1]
+        m = jnp.where((rank_s == iota_l) & (o_s > 0), 1.0, 0.0)  # [S, S]
+        clist_ref[g:g + 1, :] = jnp.sum(
+            m * iota_s, axis=0, keepdims=True).astype(jnp.int32)
+        bits_ref[g:g + 1, :] = jnp.sum(
+            m * m_s, axis=0, keepdims=True).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "group"))
+def _launch_cull_pg2(rays, cb8, w_bp, sbounds, tile: int, interpret: bool,
+                     group: int = GROUP):
+    n_tiles = rays.shape[0] // tile
+    assert n_tiles % 8 == 0 and tile % group == 0
+    c_pad, s = w_bp.shape
+    g_blk = 8 * tile // group
+    kernel = functools.partial(_cull_pg2_kernel, tile=tile, c_pad=c_pad,
+                               s_count=s, group=group)
+    n_groups = rays.shape[0] // group
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // 8,),
+        in_specs=[
+            pl.BlockSpec((8 * tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((g_blk, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((g_blk, s), jnp.float32),
+                        pltpu.VMEM((g_blk, s), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(rays, cb8, w_bp, sbounds)
+
+
+def _popcount16(v):
+    """Scalar popcount of a value < 2^16 (int32 ops only — used to turn
+    an isolated low bit into its index without transcendentals)."""
+    v = v - ((v >> 1) & 0x5555)
+    v = (v & 0x3333) + ((v >> 2) & 0x3333)
+    v = (v + (v >> 4)) & 0x0F0F
+    return (v + (v >> 8)) & 0x1F
+
+
+def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref, woop_ref,
+                    out_t_ref, out_i_ref, bt_ref, bi_ref, *, any_hit: bool,
+                    group: int = GROUP, ewidth: int = 2):
+    """pgwalk v2: walk each group's compacted (super, bits) list.
+
+    Per list entry, clusters are visited by iterated lowest-set-bit
+    extraction — every inner iteration is a productive [8, 128] Woop
+    evaluation, no gate-only scans (v1 burned ~230 scalar iterations per
+    group on empty gates + bit tests; here iterations == footprint).
+    TWO clusters are evaluated per iteration as independent chains and
+    merged with one select pass: a single [8, 128] eval is LATENCY-bound
+    (one 24-FMA chain on one vreg), so pairing nearly doubles
+    throughput; an odd tail duplicates the last cluster, which the
+    strict t< merge makes a no-op.  Tie rule: entries are walked
+    near-to-far with strict t<, ties within a pair resolve to the first
+    (lower cluster index) — identical to the tiled walk up to exact-t
+    ties across supers."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (group, CLUSTER), 1)
+
+    for g in range(8):
+        sl = slice(g * group, (g + 1) * group)
+        rays = rays_ref[sl, :]
+        ox = rays[:, 0:1]
+        oy = rays[:, 1:2]
+        oz = rays[:, 2:3]
+        dx = rays[:, 3:4]
+        dy = rays[:, 4:5]
+        dz = rays[:, 5:6]
+        t_max = rays[:, 6:7]
+        t_lo = rays[:, 7:8] if any_hit else None
+        bt_ref[sl, :] = jnp.broadcast_to(t_max, (group, CLUSTER))
+        bi_ref[sl, :] = jnp.full((group, CLUSTER), jnp.int32(2 ** 30),
+                                 jnp.int32)
+
+        def eval_cluster(c):
+            """One [8, 128] Woop evaluation -> (t, idx, valid-sans-best).
+            Pure (no ref writes) so two evals stay independent chains."""
+            w = woop_ref[c]
+
+            def r(q):
+                return w[q:q + 1, :]
+
+            zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+            zd = dx * r(8) + dy * r(9) + dz * r(10)
+            parallel = jnp.abs(zd) <= r(12)
+            den = jnp.where(parallel, 1.0, zd)
+            inv = pl.reciprocal(den, approx=True)
+            inv = inv * (2.0 - den * inv)
+            t = -zo * inv
+            xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+            xd = dx * r(0) + dy * r(1) + dz * r(2)
+            u = xo + t * xd
+            yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+            yd = dx * r(4) + dy * r(5) + dz * r(6)
+            v = yo + t * yd
+            mm = jnp.minimum(jnp.minimum(u, v),
+                             (1.0 + 2 * EDGE_EPS) - u - v)
+            valid = (mm >= -EDGE_EPS) & (~parallel) & (t > T_EPS)
+            if any_hit:
+                valid = valid & (t > t_lo)
+            return t, c * CLUSTER + lane, valid
+
+        def entry_body(j, carry, g=g, sl=sl):
+            bits0 = bits_ref[g, j]
+            s_idx = clist_ref[g, j]
+            base = s_idx * SUPER
+
+            def bits_cond(b):
+                return b != 0
+
+            def bits_body(b):
+                # Extract up to ``ewidth`` set bits; exhausted slots
+                # duplicate the previous cluster (the strict t< merge
+                # makes the duplicate a no-op).  All ewidth evals are
+                # independent chains — one merge pass at the end keeps
+                # the sequential ascending-index semantics.
+                ks = []
+                prev_k = jnp.int32(0)
+                for w in range(ewidth):
+                    lsb = b & (-b)
+                    k = _popcount16(lsb - 1)
+                    if w == 0:
+                        k_w = k
+                        b = b & (b - 1)
+                    else:
+                        has = b != 0
+                        k_w = jnp.where(has, k, prev_k)
+                        b = jnp.where(has, b & (b - 1), 0)
+                    ks.append(k_w)
+                    prev_k = k_w
+
+                evals = [eval_cluster(base + k) for k in ks]
+                bt = bt_ref[sl, :]
+                bi = bi_ref[sl, :]
+                for t_w, i_w, v_w in evals:
+                    w_m = v_w & (t_w < bt)
+                    bt = jnp.where(w_m, t_w, bt)
+                    bi = jnp.where(w_m, i_w, bi)
+                bt_ref[sl, :] = bt
+                bi_ref[sl, :] = bi
+                return b
+
+            jax.lax.while_loop(bits_cond, bits_body, bits0)
+            return carry
+
+        jax.lax.fori_loop(0, counts_ref[g, 0], entry_body, 0)
+
+        best_t = bt_ref[sl, :]
+        best_i = bi_ref[sl, :]
+        t_min = jnp.min(best_t, axis=1, keepdims=True)
+        hit = t_min < t_max
+        i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
+        i_min = jnp.min(i_cand, axis=1, keepdims=True)
+        out_t_ref[sl, :] = t_min
+        out_i_ref[sl, :] = jnp.where(hit, i_min, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit",
+                                             "group", "ewidth"))
+def _launch_pgwalk2(clist, bits, counts, rays, woop, interpret: bool,
+                    any_hit: bool = False, group: int = GROUP,
+                    ewidth: int = 2):
+    n_groups = rays.shape[0] // group
+    assert n_groups % 8 == 0
+    s = clist.shape[1]
+    kernel = functools.partial(_pgwalk2_kernel, any_hit=any_hit,
+                               group=group, ewidth=ewidth)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups // 8,),
+        in_specs=[
+            pl.BlockSpec((8, s), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * group, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups * group, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * group, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((8 * group, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * group, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8 * group, CLUSTER), jnp.float32),
+                        pltpu.VMEM((8 * group, CLUSTER), jnp.int32)],
+        interpret=interpret,
+    )(clist, bits, counts, rays, woop)
+
+
 def _pgwalk_kernel(mask_ref, rays_ref, woop_ref, out_t_ref, out_i_ref,
                    bt_ref, bi_ref, *, s_count: int, any_hit: bool = False):
     """Per-group cluster walk.  mask_ref [8, S] int32 SMEM (row g = group
@@ -1155,11 +1481,20 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
     if count_evals and binned:
         raise ValueError("count_evals instrumentation covers the tiled "
                          "walk only")
-    if binned == "pg" and s_count > 1 and not stream:
+    pg_group, pg_width = GROUP, 2
+    if isinstance(binned, str) and binned.startswith("pg2:"):
+        parts = binned.split(":")
+        pg_group = int(parts[1])
+        if len(parts) > 2:
+            pg_width = int(parts[2])
+        binned = "pg2"
+    if binned in ("pg", "pg2") and s_count > 1 and not stream:
         # Per-group walk: cluster-occupancy bit masks from the gmask cull
         # drive a per-8-ray-group cluster walk — no pair expansion, no
         # gather/scatter, rays stay in wavefront order (see the pgwalk
-        # section above).
+        # section above).  "pg2" adds compacted entry-ordered lists and
+        # the 2-wide ILP eval (the production variant); "pg" keeps the
+        # mask-scan walk for comparison.
         c_cpad = -(-n_clusters // CHUNK_C) * CHUNK_C
         nan_pad = ((0, c_cpad - n_clusters), (0, 0))
         cmin_c = jnp.pad(cmin, nan_pad, constant_values=jnp.nan)
@@ -1177,9 +1512,19 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
             & (c_idx[:, None] // SUPER
                == jnp.arange(s_count)[None, :]),
             pow2[:, None], 0.0).astype(jnp.float32)        # [Cp, S]
-        mask = _launch_cull_gmask(rays8, cb8, w_bp, tile, interpret)
-        out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice, interpret,
-                                      any_hit=any_hit)
+        if binned == "pg2":
+            clist, bits, counts = _launch_cull_pg2(
+                rays8, cb8, w_bp, sbounds, tile, interpret,
+                group=pg_group)
+            out_t, out_i = _launch_pgwalk2(clist, bits, counts, rays8,
+                                           woop_slice, interpret,
+                                           any_hit=any_hit,
+                                           group=pg_group,
+                                           ewidth=pg_width)
+        else:
+            mask = _launch_cull_gmask(rays8, cb8, w_bp, tile, interpret)
+            out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice,
+                                          interpret, any_hit=any_hit)
     elif binned and s_count > 1 and not stream:
         e_group = _launch_cull_perray(rays8, sbounds, tile, interpret)
         n_groups = npad // GROUP

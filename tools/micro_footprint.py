@@ -84,16 +84,51 @@ def main():
         sel = np.where(tn >= 0, tn, tf)
         occ = (tn <= tf) & (tf >= 0) & (sel < t_clip[:, None])  # [S, C]
         per_ray = occ.sum(1)
-        g8 = occ[: take - take % 8].reshape(-1, 8, occ.shape[1]).any(1).sum(1)
-        g4 = occ[: take - take % 4].reshape(-1, 4, occ.shape[1]).any(1).sum(1)
-        t128 = occ[: take - take % 128].reshape(
-            -1, 128, occ.shape[1]).any(1).sum(1)
+        uni = {}
+        for gs in (4, 8, 16, 32, 64, 128):
+            uni[gs] = occ[: take - take % gs].reshape(
+                -1, gs, occ.shape[1]).any(1).sum(1).mean()
         print(f"bounce {b + 1} ({n_alive} live, {take} sampled): "
               f"clusters/ray mean {per_ray.mean():.1f} p50 "
               f"{np.percentile(per_ray, 50):.0f} p90 "
-              f"{np.percentile(per_ray, 90):.0f} | union4 "
-              f"{g4.mean():.1f} | union8 {g8.mean():.1f} | union128 "
-              f"{t128.mean():.1f}")
+              f"{np.percentile(per_ray, 90):.0f} | unions "
+              + " ".join(f"{gs}:{uni[gs]:.1f}" for gs in uni))
+
+        # Shadow-ray analog: these origins ARE the previous bounce's hit
+        # points; cast to a random one of the scene's lights with the
+        # segment-clipped t_max (the _occluded construction,
+        # models/pathtracer.py).
+        if b == 0:
+            continue
+        lp = np.asarray(lights.position)                   # [L, 3]
+        pick = np.random.default_rng(b).integers(0, lp.shape[0], take)
+        delta = lp[pick] - o_b
+        dist = np.sqrt((delta ** 2).sum(1))
+        sd = delta / np.maximum(dist[:, None], 1e-9)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / sd
+            b0 = (root_lo[None] - o_b) * inv
+            b1 = (root_hi[None] - o_b) * inv
+            btn = np.minimum(b0, b1).max(1)
+            btf = np.maximum(b0, b1).min(1)
+            t_clip = np.where((btn <= btf) & (btf >= 0),
+                              btf * (1 + 1e-4) + 1e-3, 0.0)
+            t_eff = np.minimum(dist, t_clip)
+            t0 = (cmin[None] - o_b[:, None]) * inv[:, None]
+            t1 = (cmax[None] - o_b[:, None]) * inv[:, None]
+            tn = np.minimum(t0, t1).max(2)
+            tf = np.maximum(t0, t1).min(2)
+        sel = np.where(tn >= 0, tn, tf)
+        occ = (tn <= tf) & (tf >= 0) & (sel < t_eff[:, None])
+        per_ray = occ.sum(1)
+        uni = {}
+        for gs in (8, 16, 32, 128):
+            uni[gs] = occ[: take - take % gs].reshape(
+                -1, gs, occ.shape[1]).any(1).sum(1).mean()
+        print(f"  shadow rays from these origins: clusters/ray mean "
+              f"{per_ray.mean():.1f} p50 {np.percentile(per_ray, 50):.0f} "
+              f"p90 {np.percentile(per_ray, 90):.0f} | unions "
+              + " ".join(f"{gs}:{uni[gs]:.1f}" for gs in uni))
 
 
 if __name__ == "__main__":

@@ -83,15 +83,50 @@ def main():
 
         f_t = jax.jit(lambda o_, d_, tm: pallas_model_hit(
             scene, 0, o_, d_, tm, tile=128, refine=False))
-        f_p = jax.jit(lambda o_, d_, tm: pallas_model_hit(
-            scene, 0, o_, d_, tm, tile=128, refine=False, binned="pg"))
         dt_t = timeit(f_t, o_b, d_b, t_max)
-        dt_p = timeit(f_p, o_b, d_b, t_max)
-
-        # Agreement + footprint stats.
         tt, it_, _, _ = f_t(o_b, d_b, t_max)
-        tp_, ip, _, _ = f_p(o_b, d_b, t_max)
-        agree = float(jnp.mean((it_ == ip).astype(jnp.float32)))
+        dt_p = dt_t
+        agree = 1.0
+        line = f"  closest: tiled {dt_t * 1e3:7.1f} ms"
+        for mode in ("pg2:8", "pg2:16", "pg2:32"):
+            f_p = jax.jit(lambda o_, d_, tm, m=mode: pallas_model_hit(
+                scene, 0, o_, d_, tm, tile=128, refine=False, binned=m))
+            dt_m = timeit(f_p, o_b, d_b, t_max)
+            _, ip, _, _ = f_p(o_b, d_b, t_max)
+            ag = float(jnp.mean((it_ == ip).astype(jnp.float32)))
+            line += (f"  {mode} {dt_m * 1e3:6.1f} ms ({dt_t / dt_m:4.2f}x"
+                     f" ag={ag:.4f})")
+            if dt_m < dt_p:
+                dt_p = dt_m
+        print(line)
+
+        # Shadow-style any-hit on the same origins: toward a random light,
+        # segment-clipped t_max (the _occluded construction).
+        if b > 0:
+            lp = lights.position.T                          # [3, L]
+            pick = jax.random.randint(jax.random.key(b), (width,), 0,
+                                      lp.shape[1])
+            delta = lp[:, pick] - o_b
+            dist = jnp.sqrt(jnp.sum(delta * delta, axis=0))
+            sdir = delta / jnp.maximum(dist, 1e-9)[None, :]
+            s_tm = jnp.where(t_max > 0, dist, 0.0)
+            f_st = jax.jit(lambda o_, d_, tm: pallas_model_hit(
+                scene, 0, o_, d_, tm, tile=128, any_hit=True,
+                t_min=1e-3))
+            dt_st = timeit(f_st, o_b, sdir, s_tm)
+            _, is_t, _, _ = f_st(o_b, sdir, s_tm)
+            line = f"  shadow : tiled {dt_st * 1e3:7.1f} ms"
+            for mode in ("pg2:16", "pg2:32"):
+                f_sp = jax.jit(lambda o_, d_, tm, m=mode: pallas_model_hit(
+                    scene, 0, o_, d_, tm, tile=128, any_hit=True,
+                    t_min=1e-3, binned=m))
+                dt_sp = timeit(f_sp, o_b, sdir, s_tm)
+                _, is_p, _, _ = f_sp(o_b, sdir, s_tm)
+                ag = float(jnp.mean(((is_t >= 0) == (is_p >= 0))
+                                    .astype(jnp.float32)))
+                line += (f"  {mode} {dt_sp * 1e3:6.1f} ms "
+                         f"({dt_st / dt_sp:4.2f}x ag={ag:.4f})")
+            print(line)
 
         from srt_tpu.ops import traversal_pallas as tp
         from srt_tpu.models.mesh import transform_rays
