@@ -85,16 +85,20 @@ def main():
         # deeper bounces.
         n_bounces = cfg.max_depth + cfg.rr_bounces
         walks = os.environ.get(
-            "SRT_BENCH_WALKS", "tiled,pg2:64:4,pg2:32:4,pg2:16:4")
+            "SRT_BENCH_WALKS", "tiled@256,pg2:128:4,pg2:32:4,pg2:16:4")
         walks_sh = os.environ.get(
-            "SRT_BENCH_WALKS_SHADOW", "pg2:64:4")
+            "SRT_BENCH_WALKS_SHADOW", "pg2:128:4,pg2:128:4,pg2:64:4,pg2:64:4")
 
         def parse(spec):
             out = []
             for tok in spec.split(","):
                 tok = tok.strip()
-                out.append(False if tok == "tiled"
-                           else True if tok == "binned" else tok)
+                kt = 0
+                if tok.startswith("tiled@"):     # tiled@N = kernel tile N
+                    kt = int(tok.split("@", 1)[1])
+                    tok = "tiled"
+                out.append((False if tok == "tiled"
+                            else True if tok == "binned" else tok, kt))
             while len(out) < n_bounces:
                 out.append(out[-1])
             return out[:n_bounces]
@@ -103,13 +107,15 @@ def main():
             modes, modes_sh = parse(walks), parse(walks_sh)
             cache = {}
 
-            def hf(m, ms):
-                if (m, ms) not in cache:
-                    cache[(m, ms)] = mesh_mod.mesh_hit_fn(
-                        scene, method=method, binned=m, binned_anyhit=ms)
-                return cache[(m, ms)]
+            def hf(m, ms, kt):
+                if (m, ms, kt) not in cache:
+                    cache[(m, ms, kt)] = mesh_mod.mesh_hit_fn(
+                        scene, method=method, binned=m, binned_anyhit=ms,
+                        kernel_tile=kt)
+                return cache[(m, ms, kt)]
 
-            hit_fns = [hf(m, ms) for m, ms in zip(modes, modes_sh)]
+            hit_fns = [hf(m, ms, kt or kts)
+                       for (m, kt), (ms, kts) in zip(modes, modes_sh)]
         else:
             hit_fns = hit_fn
         schedule = discover_schedule(hit_fns, lights, cam, cfg,

@@ -105,7 +105,13 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     u_all = stream.take(n_bounces * d_slots)              # [B*D, N]
     u_bounce = u_all.reshape(n_bounces, d_slots, n)
 
-    image = jnp.zeros((n, 3), jnp.float32)
+    # Exited rays accumulate as (pix, color) CHUNKS, assembled once at the
+    # end by argsort + row gather: XLA's arbitrary-row scatter costs
+    # ~87 ms per ~1M rows on this backend (the r3 binned pipeline hit the
+    # same wall), while argsort + packed row gather is ~ms.  Every ray
+    # exits exactly once, so the chunks are a permutation of the image.
+    pix_chunks = []
+    color_chunks = []
     carry = (
         origins,
         dirs,
@@ -125,10 +131,9 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
         width = schedule[b]
         if width < carry[0].shape[1]:
             # Slice to this bounce's width; the dropped tail is dead
-            # (live-first sort) and its color is final — write it out.
-            pix_tail = carry[5][width:]
-            color_tail = carry[3][:, width:]
-            image = image.at[pix_tail].set(color_tail.T)
+            # (live-first sort) and its color is final — bank the chunk.
+            pix_chunks.append(carry[5][width:])
+            color_chunks.append(carry[3][:, width:])
             carry = tuple(
                 x[:, :width] if x.ndim == 2 else x[:width] for x in carry)
         # Per-ray uniform slots via the position -> pixel map (row gather
@@ -147,7 +152,13 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     origins, dirs, throughput, color, alive, pix = carry[:6]
     color = color + jnp.where(bc(alive),
                               throughput * pathtracer._sky(dirs, cfg), 0.0)
-    image = image.at[pix].set(color.T)
+    pix_chunks.append(pix)
+    color_chunks.append(color)
+    all_pix = jnp.concatenate(pix_chunks)
+    all_color = jnp.concatenate(color_chunks, axis=1)
+    # all_pix is a permutation of 0..n-1, so argsort IS its inverse; one
+    # packed row gather lands radiance in pixel order (no scatter).
+    image = all_color.T[jnp.argsort(all_pix)]
 
     if return_stats:
         return image.T, jnp.stack(stats), overflow
