@@ -184,7 +184,12 @@ def _cull_kernel(rays_ref, sb_ref, clist_ref, elist_ref, counts_ref,
             t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                             jnp.maximum(t0y, t1y)),
                                 jnp.maximum(t0z, t1z))
-            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            # Entry bound: max(t_near, 0), NOT exit-if-inside (the
+            # reference IntersectsBox quirk, ray_intersects.glsl:49-58):
+            # a box entered from INSIDE whose exit exceeds the range
+            # bound can still hold nearer candidates - the exit is no
+            # lower bound on candidate t; 0 is.
+            sel = jnp.maximum(t_near, 0.0)
             hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
             ebuf_ref[sub:sub + 1, :] = jnp.min(
                 jnp.where(hit, sel, BIG), axis=0, keepdims=True)
@@ -316,7 +321,12 @@ def _cull_perray_kernel(rays_ref, sb_ref, e_ref, amax_ref, *, tile: int,
             t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                             jnp.maximum(t0y, t1y)),
                                 jnp.maximum(t0z, t1z))
-            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            # Entry bound: max(t_near, 0), NOT exit-if-inside (the
+            # reference IntersectsBox quirk, ray_intersects.glsl:49-58):
+            # a box entered from INSIDE whose exit exceeds the range
+            # bound can still hold nearer candidates - the exit is no
+            # lower bound on candidate t; 0 is.
+            sel = jnp.maximum(t_near, 0.0)
             hit = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
             e_ray = jnp.where(hit, sel, BIG)          # [tile, S]
             e_ref[sub * gpt:(sub + 1) * gpt, :] = jnp.min(
@@ -471,7 +481,12 @@ def _cull_gmask_kernel(rays_ref, cb8_ref, w_ref, mask_ref, amax_ref, *,
                 t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                                 jnp.maximum(t0y, t1y)),
                                     jnp.maximum(t0z, t1z))
-                sel = jnp.where(t_near >= 0.0, t_near, t_far)
+                # Entry bound: max(t_near, 0), NOT exit-if-inside (the
+                # reference IntersectsBox quirk, ray_intersects.glsl:49-58):
+                # a box entered from INSIDE whose exit exceeds the range
+                # bound can still hold nearer candidates - the exit is no
+                # lower bound on candidate t; 0 is.
+                sel = jnp.maximum(t_near, 0.0)
                 hit_c = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
                 occ = jnp.where(hit_c, 1.0, 0.0)            # [tile, CHUNK]
                 occ_g = jnp.max(occ.reshape(gpt, GROUP, CHUNK_C), axis=1)
@@ -510,8 +525,9 @@ def _launch_cull_gmask(rays, cb8, w_bp, tile: int, interpret: bool):
 
 
 def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
-                     counts_ref, mf_ref, e_ref, amax_ref, *, tile: int,
-                     c_pad: int, s_count: int, group: int = GROUP):
+                     elist_ref, counts_ref, mf_ref, e_ref, amax_ref, *,
+                     tile: int, c_pad: int, s_count: int,
+                     group: int = GROUP):
     """pgwalk v2 cull: per-GROUP compacted, entry-ordered (super, cluster
     bits) lists.
 
@@ -573,7 +589,12 @@ def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
                 t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                                 jnp.maximum(t0y, t1y)),
                                     jnp.maximum(t0z, t1z))
-                sel = jnp.where(t_near >= 0.0, t_near, t_far)
+                # Entry bound: max(t_near, 0), NOT exit-if-inside (the
+                # reference IntersectsBox quirk, ray_intersects.glsl:49-58):
+                # a box entered from INSIDE whose exit exceeds the range
+                # bound can still hold nearer candidates - the exit is no
+                # lower bound on candidate t; 0 is.
+                sel = jnp.maximum(t_near, 0.0)
                 hit_b = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
                 return hit_b, sel
 
@@ -624,6 +645,8 @@ def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
             m * iota_s, axis=0, keepdims=True).astype(jnp.int32)
         bits_ref[g:g + 1, :] = jnp.sum(
             m * m_s, axis=0, keepdims=True).astype(jnp.int32)
+        elist_ref[g:g + 1, :] = jnp.sum(
+            m * jnp.where(o_s > 0, e_s, 0.0), axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret", "group"))
@@ -652,9 +675,12 @@ def _launch_cull_pg2(rays, cb8, w_bp, sbounds, tile: int, interpret: bool,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
             jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, s), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, 1), jnp.int32),
         ],
         out_specs=[
+            pl.BlockSpec((g_blk, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, s), lambda i: (i, 0),
@@ -678,9 +704,9 @@ def _popcount16(v):
     return (v + (v >> 8)) & 0x1F
 
 
-def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref, woop_ref,
-                    out_t_ref, out_i_ref, bt_ref, bi_ref, *, any_hit: bool,
-                    group: int = GROUP, ewidth: int = 2):
+def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
+                    woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref, *,
+                    any_hit: bool, group: int = GROUP, ewidth: int = 2):
     """pgwalk v2: walk each group's compacted (super, bits) list.
 
     Per list entry, clusters are visited by iterated lowest-set-bit
@@ -783,6 +809,14 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref, woop_ref,
             jax.lax.while_loop(bits_cond, bits_body, bits0)
             return carry
 
+        # (Tried and rejected, r4: a phase-2 entry gate — walk 4 entries,
+        # one vector->scalar sync for the group's weakest best-t, then
+        # skip entries whose ordered entry distance exceeds it.  Measured
+        # 3-6% SLOWER on bounces 3-4: the max-over-group bound is
+        # dominated by whichever ray is still unresolved, so the gate
+        # almost never fires while its sync + per-entry compare always
+        # cost.  Per-ray gates need per-ray granularity, which is the
+        # tiled walk's regime, not this one.)
         jax.lax.fori_loop(0, counts_ref[g, 0], entry_body, 0)
 
         best_t = bt_ref[sl, :]
@@ -797,9 +831,9 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref, woop_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "any_hit",
                                              "group", "ewidth"))
-def _launch_pgwalk2(clist, bits, counts, rays, woop, interpret: bool,
-                    any_hit: bool = False, group: int = GROUP,
-                    ewidth: int = 2):
+def _launch_pgwalk2(clist, bits, counts, rays, woop,
+                    interpret: bool, any_hit: bool = False,
+                    group: int = GROUP, ewidth: int = 2):
     n_groups = rays.shape[0] // group
     assert n_groups % 8 == 0
     s = clist.shape[1]
@@ -1098,7 +1132,12 @@ def _intersect_kernel(counts_ref, clist_ref, elist_ref, rays_ref, cb_ref,
             t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                             jnp.maximum(t0y, t1y)),
                                 jnp.maximum(t0z, t1z))
-            sel = jnp.where(t_near >= 0.0, t_near, t_far)
+            # Entry bound: max(t_near, 0), NOT exit-if-inside (the
+            # reference IntersectsBox quirk, ray_intersects.glsl:49-58):
+            # a box entered from INSIDE whose exit exceeds the range
+            # bound can still hold nearer candidates - the exit is no
+            # lower bound on candidate t; 0 is.
+            sel = jnp.maximum(t_near, 0.0)
             enters = (t_near <= t_far) & (t_far >= 0.0) & (sel < ray_best)
             occ16 = jnp.any(enters, axis=0, keepdims=True)        # [1, 16]
             # Exact powers of two via integer shifts (jnp.exp2 is inexact
@@ -1513,11 +1552,11 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                == jnp.arange(s_count)[None, :]),
             pow2[:, None], 0.0).astype(jnp.float32)        # [Cp, S]
         if binned == "pg2":
-            clist, bits, counts = _launch_cull_pg2(
+            clist, bits, _elist, counts = _launch_cull_pg2(
                 rays8, cb8, w_bp, sbounds, tile, interpret,
                 group=pg_group)
-            out_t, out_i = _launch_pgwalk2(clist, bits, counts, rays8,
-                                           woop_slice, interpret,
+            out_t, out_i = _launch_pgwalk2(clist, bits, counts,
+                                           rays8, woop_slice, interpret,
                                            any_hit=any_hit,
                                            group=pg_group,
                                            ewidth=pg_width)
