@@ -55,7 +55,11 @@ def main():
     cam = CameraConfig(width=size, height=size, origin=cam_origin,
                        look_at=cam_look)
     cfg = RenderConfig(max_depth=4, rr_bounces=0, spp=1,
-                       sort_bounces=(method == "pallas"))
+                       sort_bounces=(method == "pallas"),
+                       # Mesh materials are uniformly specular
+                       # (TriangleToSupportedMat): skip the dead diffuse
+                       # direct variant — bit-identical image.
+                       uniform_use_spec=True)
     hit_fn = mesh_mod.mesh_hit_fn(
         scene, method=method,
         ray_tile=int(os.environ.get("SRT_BENCH_TILE", "8192")),

@@ -75,6 +75,13 @@ class RenderConfig:
     sky_gradient: bool = False
     sky_always: bool = True
     flip_mesh_normals: bool = True
+    # All-specular shading shortcut: mesh material conversion
+    # (TriangleToSupportedMat, raytrace_utils.glsl:173) sets useSpec=true
+    # for EVERY triangle, making the diffuse direct-lighting variant dead
+    # compute on mesh scenes.  True skips it (bit-identical image when
+    # every material has use_spec; callers assert nothing — it is the
+    # caller's promise).  Off by default for sphere-scene generality.
+    uniform_use_spec: bool = False
     ray_tile: int = 2048  # rays per Pallas kernel tile
     # Trace rays in Morton (Z-order) pixel order so kernel tiles cover
     # compact pixel blocks (the analog of the reference's 8x8 workgroups).

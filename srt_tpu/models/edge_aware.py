@@ -23,10 +23,11 @@ opt-in.
 
 Scope: primary-visibility silhouettes, plus (opt-in,
 ``soft_shadow_band``) SHADOW boundaries via a penetration-ramp occlusion
-multiplier plugged into the integrator's ``shadow_fn`` hook.  Remaining
-gap: silhouettes seen in reflections (secondary visibility) are still
-path-space only — they need edge sampling in the integrator proper
-(roadmap).
+multiplier plugged into the integrator's ``shadow_fn`` hook, plus
+(``trace_edge_aware_reflection``) SECONDARY silhouettes seen in
+deterministic MIRROR reflections.  Remaining gap: silhouettes behind
+stochastic (rough/diffuse) bounces are still path-space only — they
+need edge sampling in the integrator proper (roadmap).
 """
 
 from __future__ import annotations
@@ -159,6 +160,92 @@ def trace_edge_aware(spheres: Spheres, lights: Lights, cam: CameraConfig,
 
     blend = jnp.where(p_hit, cov, 1.0)
     radiance = bc(blend) * color_main + bc(1.0 - blend) * color_bg
+    return radiance.T.reshape(cam.height, cam.width, 3)
+
+
+def trace_edge_aware_reflection(spheres: Spheres, lights: Lights,
+                                cam: CameraConfig, cfg: RenderConfig,
+                                stream, band: float = 1.0):
+    """One image sample with reparameterized SECONDARY (reflected)
+    visibility — the remaining silhouette term the primary module
+    documents as open: objects seen IN A MIRROR contribute zero
+    path-space gradient at their reflected silhouette (the step lives in
+    the bounce loop's ``CheckHit``, raytrace_compute.glsl:122-165, at
+    bounce depth 2).
+
+    Scope: pixels whose bounce-1 lobe is DETERMINISTIC — mirror
+    materials (metalness 1, roughness 0, the integrator's forced-spec
+    path) — get the reflected winner's silhouette replaced by a coverage
+    ramp; all other pixels are bit-identical to the plain renderer.  The
+    construction runs the REAL integrator bounce for depth 1
+    (``bounce_step``: direct lighting, lobe selection, reflection ray),
+    then traces the remaining depth twice from the bounce ray — once as
+    is, once continued past the reflected winner's far intersection —
+    and blends by the winner's silhouette coverage at the reflected
+    footprint (pixel size at camera->mirror->object distance).  Both
+    continuation traces consume the SAME slot block the one-jit scan
+    would, so radiometry matches ``trace_wavefront`` exactly away from
+    the band (tested).  Stochastic (rough/diffuse) bounces remain
+    path-space: their silhouette term needs edge sampling in the
+    integrator proper (ROADMAP).
+    """
+    import dataclasses
+
+    from srt_tpu.models.pathtracer import bounce_step
+    from srt_tpu.ops import intersect
+    from srt_tpu.ops.gather import take_small_t
+
+    n = cam.width * cam.height
+    vp = derive_viewport(cam)
+    jitter = stream.take(2)
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+
+    n_bounces = cfg.max_depth + cfg.rr_bounces
+    assert n_bounces >= 2, "reflected silhouettes need depth >= 2"
+    d_slots = rng_ops.bounce_slots(lights.count)
+    u_block = stream.take(n_bounces * d_slots)          # [B*D, N]
+
+    hit_fn = spheres_hit_fn(spheres)
+
+    # Bounce 1 = the real integrator body (direct light, lobe, next ray).
+    init = (origins, dirs, jnp.ones((3, n), jnp.float32),
+            jnp.zeros((3, n), jnp.float32), jnp.ones((n,), bool),
+            jnp.arange(n, dtype=jnp.int32))
+    carry1, _ = bounce_step(hit_fn, lights, cfg, init, 0,
+                            u_block[:d_slots], sort=False)
+    o2, d2, thr1, color1, alive1, _pix = carry1[:6]
+
+    # Remaining depth from the bounce ray: same slots, shifted cfg so
+    # Russian roulette fires at the same absolute depths.
+    cfg_rest = dataclasses.replace(cfg, max_depth=cfg.max_depth - 1)
+    rest = u_block[d_slots:]
+    l2_hit = trace_wavefront(hit_fn, lights, o2, d2,
+                             ArrayStream(rest.T), cfg_rest)
+
+    # Reflected winner + silhouette coverage at the reflected footprint.
+    p_hit1, t1, w1 = intersect.sphere_hit(
+        origins, dirs, spheres.center, spheres.radius, cfg.t_min,
+        jnp.full((n,), jnp.inf))
+    metal1 = take_small_t(spheres.materials.metalness[:, None], w1)[0]
+    rough1 = take_small_t(spheres.materials.roughness[:, None], w1)[0]
+    mirror1 = p_hit1 & (metal1 == 1.0) & (rough1 == 0.0)
+
+    hit2, _t2, w2 = intersect.sphere_hit(
+        o2, d2, spheres.center, spheres.radius, cfg.t_min,
+        jnp.full((n,), jnp.inf))
+    sdf2, along2, t_exit2 = _winner_silhouette(spheres, o2, d2, w2)
+    fp = band * jnp.maximum(t1 + along2, 1e-3) / (
+        cam.focus_dist * min(cam.width, cam.height))
+    cov2 = jnp.clip(sdf2 / fp, 0.0, 1.0)
+
+    d2_hat = vec.normalize(d2)
+    o2_bg = o2 + bc(jnp.where(hit2, t_exit2 + cfg.t_min, 0.0)) * d2_hat
+    l2_bg = trace_wavefront(hit_fn, lights, o2_bg, d2,
+                            ArrayStream(rest.T), cfg_rest)
+
+    blend = jnp.where(mirror1 & alive1 & hit2, cov2, 1.0)
+    l2 = bc(blend) * l2_hit + bc(1.0 - blend) * l2_bg
+    radiance = color1 + jnp.where(bc(alive1), thr1 * l2, 0.0)
     return radiance.T.reshape(cam.height, cam.width, 3)
 
 

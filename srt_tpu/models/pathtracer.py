@@ -314,15 +314,20 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         rec.p, rec.normal, view, rec.mat, l_pos, l_col, l_int, shadow_mult
     ) * bc(light_w)
 
-    l_dir = brdf.light_dir_to(rec.p, l_pos)
-    falloff = brdf.light_falloff(rec.p, l_pos)
-    light_term = l_col * bc(falloff * l_int * light_w)
-    direct_diff = (
-        brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
-        * bc(shadow_mult) * light_term
-    )
-
-    direct = jnp.where(bc(rec.mat.use_spec), direct_spec, direct_diff)
+    if cfg.uniform_use_spec:
+        # Every material is specular (mesh conversion guarantees it,
+        # raytrace_utils.glsl:173): the diffuse variant below would be
+        # computed then discarded by the where — skip it outright.
+        direct = direct_spec
+    else:
+        l_dir = brdf.light_dir_to(rec.p, l_pos)
+        falloff = brdf.light_falloff(rec.p, l_pos)
+        light_term = l_col * bc(falloff * l_int * light_w)
+        direct_diff = (
+            brdf.sample_direct_new(rec.normal, l_dir, view, rec.mat)
+            * bc(shadow_mult) * light_term
+        )
+        direct = jnp.where(bc(rec.mat.use_spec), direct_spec, direct_diff)
     add = active & sampled
     color = color + jnp.where(bc(add), throughput * direct, 0.0)
 

@@ -371,7 +371,7 @@ def trace(sc: OracleScene, o, d, uniforms, max_depth=5, rr_bounces=3,
         # specular candidate
         alpha = rough * rough
         lp = _reflect(-v, n)
-        hp = _norm(-v + lp)
+        hp = _norm(v + lp)   # V + L (the -V form was tangent; see brdf.py)
         hs = np.where((alpha == 0)[:, None], hp, h)
         sdir = _reflect(-v, hs)
         hdotl = np.clip(_dot(hs, sdir), 1e-5, 1.0)

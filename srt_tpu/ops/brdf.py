@@ -300,7 +300,13 @@ def sample_specular_microfacet(p, normal, view_dir, mat: Materials, f0,
     brdf.glsl:102-132).  Returns (direction [3, N], weight [3, N])."""
     # Perfect-mirror fast path when alpha == 0 (brdf.glsl:106-110).
     l_perfect = reflect(-view_dir, normal)
-    h_perfect = vec.normalize(-view_dir + l_perfect, fallback=normal)
+    # Half vector = normalize(V + L) — both pointing away from the
+    # surface.  (r1-r4 had normalize(-V + L), which is TANGENT to the
+    # surface for a perfect mirror: every roughness-0 bounce then
+    # reflected INTO the surface and died as invalid.  The numpy oracle
+    # carried the same sign, so parity tests never saw it; no scene used
+    # roughness exactly 0 until the reflected-silhouette work.)
+    h_perfect = vec.normalize(view_dir + l_perfect, fallback=normal)
     h_sampled = sample_ggx_half_vector(normal, mat.roughness, h_r1, h_r2)
     h = jnp.where(bc(alpha == 0.0), h_perfect, h_sampled)
 

@@ -74,6 +74,38 @@ def restore_into(template: Any, leaves) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): the ecosystem-standard checkpoint format, for
+# interop with other JAX training stacks.  Same pytree in/out contract as
+# the npz path; orbax's async machinery replaces save_async.
+# ---------------------------------------------------------------------------
+
+def have_orbax() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def save_orbax(path: str, tree: Any) -> None:
+    """Save a pytree with orbax (directory format) at ``path``."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ck:
+        ck.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str, template: Any):
+    """Restore a pytree saved by ``save_orbax``; None if missing."""
+    import orbax.checkpoint as ocp
+
+    if not os.path.exists(path):
+        return None
+    with ocp.PyTreeCheckpointer() as ck:
+        return ck.restore(os.path.abspath(path), item=template)
+
+
 def save_train_state(path: str, params, opt_state, step: int) -> None:
     save(path, (params, opt_state), extra={"step": int(step)})
 

@@ -171,3 +171,26 @@ def test_async_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["a"]),
                                   np.asarray(tree["a"]))
     assert extra["step"] == 7
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The orbax backend (ecosystem-standard format) restores the same
+    pytree the npz path does; skipped where orbax is absent."""
+    import pytest
+
+    from srt_tpu.utils import checkpoint as ckpt
+
+    if not ckpt.have_orbax():
+        pytest.skip("orbax not installed")
+    import jax.numpy as jnp
+    import numpy as np
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((4,))}
+    path = str(tmp_path / "orbax_state")
+    ckpt.save_orbax(path, tree)
+    restored = ckpt.load_orbax(path, tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]),
+                                  np.asarray(tree["b"]))
+    assert ckpt.load_orbax(str(tmp_path / "missing"), tree) is None
