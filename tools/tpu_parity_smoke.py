@@ -46,13 +46,15 @@ def random_rays(n, seed, spread):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def check(name, scene, o, d, chunk=2048):
+def check(name, scene, o, d, chunk=2048, binned=False):
     from srt_tpu.models import mesh as mesh_mod
     from srt_tpu.ops.traversal_pallas import pallas_model_hit
 
     n = o.shape[1]
     t_max = jnp.full((n,), jnp.inf)
-    f_p = jax.jit(lambda o_, d_: pallas_model_hit(scene, 0, o_, d_, t_max))
+    f_p = jax.jit(lambda o_, d_: pallas_model_hit(scene, 0, o_, d_, t_max,
+                                                  tile=128 if binned else 512,
+                                                  binned=binned))
 
     # Dense reference in ray chunks: the [N, T] sweep at 256k x 102k would
     # need ~100 GB; chunks keep it a few hundred MB (pass a smaller chunk
@@ -121,6 +123,13 @@ def main():
     results["cases"].append(check("102k/camera 256k", hi, o, d))
     o, d = random_rays(262144, 5, 4.0)
     results["cases"].append(check("102k/random 256k", hi, o, d))
+    # r4 per-group walk (the incoherent-bounce production mode) on real
+    # Mosaic: compacted-list cull + popcount bit walk + 4-wide evals.
+    results["cases"].append(check("102k/random 256k pg2:32:4", hi, o, d,
+                                  binned="pg2:32:4"))
+    o, d = camera_rays(512, (0.0, 1.0, 5.0), (0.0, 0.0, 0.0))
+    results["cases"].append(check("102k/camera 256k pg2:128:4", hi, o, d,
+                                  binned="pg2:128:4"))
 
     # Airplane-class, beyond the VMEM-resident table: the HBM-streaming
     # kernel (auto-selected over STREAM_THRESHOLD_CLUSTERS) on real
