@@ -118,6 +118,18 @@ def generate_rays(vp: Viewport, width: int, height: int, jitter: jnp.ndarray,
     )
     i = xs.reshape(-1)
     j = ys.reshape(-1)
+    if jitter.shape[1] != i.shape[0]:
+        # spp-batched wavefront: K consecutive samples per pixel
+        # (sample-id order, id = pixel*K + s).  Tracing a pixel's samples
+        # ADJACENT in one wavefront makes 8-ray kernel groups share one
+        # pixel's bounce footprint instead of eight different pixels' —
+        # the r5 coherence mode (models/wavefront_compact.py).
+        k, rem = divmod(jitter.shape[1], i.shape[0])
+        assert rem == 0, \
+            f"jitter width {jitter.shape[1]} is not a multiple of " \
+            f"the pixel count {i.shape[0]}"
+        i = jnp.repeat(i, k)
+        j = jnp.repeat(j, k)
     off = jitter - 0.5
     px = vp.pixel00[:, None] \
         + (i + off[0])[None, :] * vp.delta_u[:, None] \

@@ -94,7 +94,10 @@ def default_walks(scene, n_bounces: int):
         # per-group walks only add fixed cost.
         walks = [parse_walk("tiled")] * n_bounces
         return walks, list(walks)
-    walks = parse_walks("tiled@256,pg2:128:4,pg2:32:4,pg2:16:4", n_bounces)
+    # r5 re-tune (cone-major bounce sort, tools/micro_pg2_split.py):
+    # bounce-4 optimum moved from pg2:16 to pg2:32 (direction-sorted
+    # groups stay coherent at twice the size).
+    walks = parse_walks("tiled@256,pg2:128:4,pg2:32:4,pg2:32:4", n_bounces)
     walks_sh = parse_walks("pg2:128:4,pg2:128:4,pg2:64:4,pg2:64:4",
                            n_bounces)
     return walks, walks_sh
@@ -195,7 +198,7 @@ def make_render_plan(scene, lights: Lights, cam: CameraConfig,
     else:
         hit_fns = build_hit_fns(scene, None, None, method=method)
 
-    n = cam.width * cam.height
+    n = cam.width * cam.height * cfg.spp
     schedule = discover_schedule(hit_fns, lights, cam, cfg, key)
     fn = jax.jit(lambda k: trace_image_compact(
         hit_fns, lights, cam, cfg, KeyStream(k, n), schedule,

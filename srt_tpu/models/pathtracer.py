@@ -174,16 +174,32 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
     return closest_hit
 
 
-def _bounce_sort_keys(origins, dirs, alive):
+def _bounce_sort_keys(origins, dirs, alive, bounce=None):
     """Coherence keys for re-sorting the wavefront between bounces.
 
     Indirect bounce rays scatter over the surface with random directions,
     so kernel tiles lose the Morton coherence of the primary wavefront and
-    their active-cluster unions blow up.  Sorting by (dead-last, origin
-    Morton cell, direction octant) re-packs each tile with nearby rays
-    going the same way — and packs terminated paths into all-dead tiles
-    the cluster kernel skips outright.  Pure value-level work: static
-    shapes, one u32 key per ray.
+    their active-cluster unions blow up.  Two keys, picked per bounce
+    (r5 offline ordering study, tools/micro_sortkeys.py on real dumped
+    wavefronts):
+
+    * ``cell-major`` (dead-last, origin Morton cell, ~30-degree direction
+      cone) — best for the still-coherent bounce-2 wavefront (mirror-like
+      reflections of the primary beam: footprints are tiny and origin
+      locality dominates);
+    * ``cone-major`` (dead-last, 9-bit Morton-interleaved direction cell
+      ~15 degrees, then origin cell) — best for bounces >= 3 AND for the
+      shadow batches cast from their hits: direction divergence, not
+      origin spread, is what blows up late-bounce group footprints
+      (measured bounce 3, G=32 groups: union 47.7 clusters vs 86.6
+      cell-major; the shadow batch improves 3.23 -> 1.97 walk evals/ray
+      because direction-sorted beams also land on clustered hit points).
+      Same-pixel spp batches were measured WORSE (union 154 at G=32):
+      equal origins buy nothing once lobes diverge — see ROADMAP r5.
+
+    ``bounce`` is the (traced) bounce index whose OUTPUT wavefront is
+    being sorted; None keeps the cell-major key (legacy callers).  Pure
+    value-level work: static shapes, one u32 key per ray.
     """
     lo = jnp.min(origins, axis=1, keepdims=True)
     hi = jnp.max(origins, axis=1, keepdims=True)
@@ -202,11 +218,20 @@ def _bounce_sort_keys(origins, dirs, alive):
     # cover most of the scene by bounce 3 (measured).
     inv_len = jax.lax.rsqrt(jnp.maximum(
         jnp.sum(dirs * dirs, axis=0), 1e-12))
-    qd = jnp.clip((dirs * inv_len + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
+    dirs_n = dirs * inv_len
+    qd = jnp.clip((dirs_n + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
     dm = (((qd[0] >> 1) << 5) | ((qd[1] >> 1) << 4) | ((qd[2] >> 1) << 3)
           | ((qd[0] & 1) << 2) | ((qd[1] & 1) << 1) | (qd[2] & 1))
     dead = (~alive).astype(jnp.uint32)
-    return (dead << 21) | (morton << 6) | dm
+    key_cell = (dead << 21) | (morton << 6) | dm
+    if bounce is None:
+        return key_cell
+    # 3-bit/axis Morton-interleaved direction cell (~15-degree cones).
+    qd3 = jnp.clip((dirs_n + 1.0) * 4.0, 0.0, 7.0).astype(jnp.uint32)
+    dm9 = ((part1by2(qd3[0]) << 2) | (part1by2(qd3[1]) << 1)
+           | part1by2(qd3[2])) & jnp.uint32(0x1FF)
+    key_cone = (dead << 24) | (dm9 << 15) | morton
+    return jnp.where(jnp.asarray(bounce) >= 1, key_cone, key_cell)
 
 
 def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
@@ -401,7 +426,7 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         # [3, N] carries cost ~100 ms/bounce at 1M rays on TPU
         # (measured), row-major gathers ~5 ms.
         order = jnp.argsort(
-            _bounce_sort_keys(origins, dirs, cont), stable=True)
+            _bounce_sort_keys(origins, dirs, cont, bounce), stable=True)
         extra = [] if cone is None else [cwidth[None], cspread[None]]
         packed = jnp.concatenate([
             origins, dirs, throughput, color,

@@ -80,7 +80,11 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     ``pix_init`` maps wavefront position -> pixel id (identity when
     None); Morton-ordered callers pass the permutation so each ray
     consumes its own pixel's slots and radiance lands directly in pixel
-    order — no unpermute pass.
+    order — no unpermute pass.  ``pix_init`` MUST be a strict permutation
+    of ``0..n-1``: the final assembly is argsort + packed row gather, so
+    a duplicate pixel id would scramble rows rather than last-write like
+    a scatter (spp-batched callers therefore pass unique SAMPLE ids,
+    ``pixel*spp + s`` — see ``trace_image_compact``).
     """
     n = origins.shape[1]
     n_bounces = cfg.max_depth + cfg.rr_bounces
@@ -169,16 +173,32 @@ def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
                         cfg: RenderConfig, stream,
                         schedule: Sequence[int], origin=None, look_at=None,
                         return_stats: bool = False):
-    """One full-image sample via the compacted trace; linear [H, W, 3].
-    Jittable with ``schedule`` static (see ``trace_compact``)."""
+    """One full image via the compacted trace; linear [H, W, 3].
+    Jittable with ``schedule`` static (see ``trace_compact``).
+
+    ``cfg.spp > 1`` traces ALL samples in ONE wavefront, a pixel's K
+    samples adjacent (sample-id order, id = pixel*K + s): an 8-ray kernel
+    group then holds samples of ~one pixel — near-identical bounce
+    origins, lobe-correlated directions — so its union traversal
+    footprint approaches a single ray's instead of eight sorted pixels'
+    (the r5 coherence lever; ROADMAP).  ``stream`` must carry
+    ``n_rays == spp * W * H``; every (pixel, sample) consumes its own
+    slot column, and ``schedule[0]`` must equal that total.  The returned
+    image is the K-sample mean.  ``spp == 1`` is bit-identical to the r4
+    behavior."""
     from srt_tpu.camera import derive_viewport, generate_rays
     if cfg.ray_cones and cfg.primary_spread == 0.0:
         import dataclasses
         cfg = dataclasses.replace(
             cfg, primary_spread=1.0 / (cam.focus_dist
                                        * min(cam.width, cam.height)))
+    k = cfg.spp
+    n_pix = cam.width * cam.height
+    assert k * n_pix <= 2 ** 24, \
+        "sample ids ride the packed f32 sort (pathtracer.bounce_step) " \
+        "and must stay exact: spp * W * H <= 2^24"
     vp = derive_viewport(cam, origin=origin, look_at=look_at)
-    jitter = stream.take(2)
+    jitter = stream.take(2)                                # [2, K*N]
     defocus = stream.take(2) if cam.defocus_angle > 0 else None
     origins, dirs = generate_rays(vp, cam.width, cam.height, jitter,
                                   defocus)
@@ -186,18 +206,25 @@ def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
     if cfg.morton_order:
         from srt_tpu.ops.morton import morton_perm, permute_rays
         perm, _ = morton_perm(cam.height, cam.width)
+        if k > 1:
+            perm = (perm[:, None] * k
+                    + np.arange(k, dtype=perm.dtype)[None, :]).reshape(-1)
         origins, dirs = permute_rays(origins, dirs, perm)
-        # Uniforms stay in pixel order; pix carries real pixel ids, so the
-        # in-step slot gather and the image scatter are both direct —
-        # exactly the numbers PermutedStream would deliver.
+        # Uniforms stay in sample-id order; pix carries real sample ids,
+        # so the in-step slot gather and the image assembly are both
+        # direct — exactly the numbers PermutedStream would deliver.
         pix_init = perm
     out = trace_compact(closest_hit, lights, origins, dirs, stream, cfg,
                         schedule, pix_init=pix_init,
                         return_stats=return_stats)
+    radiance = out[0] if return_stats else out
+    if k > 1:
+        # Sample-id rows -> per-pixel K-sample mean.
+        radiance = jnp.mean(radiance.T.reshape(n_pix, k, 3), axis=1).T
+    img = radiance.T.reshape(cam.height, cam.width, 3)
     if return_stats:
-        radiance, stats, overflow = out
-        return radiance.T.reshape(cam.height, cam.width, 3), stats, overflow
-    return out.T.reshape(cam.height, cam.width, 3)
+        return img, out[1], out[2]
+    return img
 
 
 def discover_schedule(closest_hit, lights: Lights, cam: CameraConfig,
@@ -214,7 +241,7 @@ def discover_schedule(closest_hit, lights: Lights, cam: CameraConfig,
     output catches the residual.
     """
     from srt_tpu.ops.rng import KeyStream
-    n = cam.width * cam.height
+    n = cam.width * cam.height * cfg.spp
     full = tuple([n] * (cfg.max_depth + cfg.rr_bounces))
     probe = jax.jit(lambda k: trace_image_compact(
         closest_hit, lights, cam, cfg, KeyStream(k, n), full,
