@@ -98,7 +98,7 @@ def default_walks(scene, n_bounces: int):
     # bounce-4 optimum moved from pg2:16 to pg2:32 (direction-sorted
     # groups stay coherent at twice the size).
     walks = parse_walks("tiled@256,pg2:128:4,pg2:32:4,pg2:32:4", n_bounces)
-    walks_sh = parse_walks("pg2:128:4,pg2:128:4,pg2:64:4,pg2:64:4",
+    walks_sh = parse_walks("pg2:128:4,pg2:32:4,pg2:32:4,pg2:32:4",
                            n_bounces)
     return walks, walks_sh
 
@@ -113,21 +113,25 @@ def build_hit_fns(scene, walks, walks_shadow, method: str = "pallas"):
     (r4 advisor finding).
     """
     from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.ops.traversal_pallas import DEFAULT_TILE, SUPER
 
     if method != "pallas":
         return mesh_mod.mesh_hit_fn(scene, method=method, ray_tile=8192)
+    n_supers = ((scene.woop.shape[0] + SUPER - 1) // SUPER
+                if scene.woop is not None else 1)
+    adaptive_tile = 128 if n_supers > 8 else DEFAULT_TILE
     cache = {}
     fns = []
     for (m, kt), (ms, kts) in zip(walks, walks_shadow):
         kt = kt or kts
-        if kt:
-            for mode in (m, ms):
-                g = _pg_group(mode)
-                if g and kt % g != 0:
-                    raise ValueError(
-                        f"pg2 group {g} does not divide kernel tile {kt} "
-                        f"(walk {mode!r}); pick a tile that is a multiple "
-                        f"of every pg2 group it is paired with")
+        eff = kt or adaptive_tile       # mesh_hit_fn's kernel_tile default
+        for mode in (m, ms):
+            g = _pg_group(mode)
+            if g and eff % g != 0:
+                raise ValueError(
+                    f"pg2 group {g} does not divide kernel tile {eff} "
+                    f"(walk {mode!r}); pick a tile that is a multiple "
+                    f"of every pg2 group it is paired with")
         key = (m, ms, kt)
         if key not in cache:
             cache[key] = mesh_mod.mesh_hit_fn(

@@ -106,8 +106,15 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     assert all(a >= b for a, b in zip(schedule, schedule[1:])), \
         "schedule must be non-increasing (slices can only shrink)"
     d_slots = 2 * lights.count + 6
-    u_all = stream.take(n_bounces * d_slots)              # [B*D, N]
-    u_bounce = u_all.reshape(n_bounces, d_slots, n)
+    # Uniform slots: either one materialized take() + per-bounce row
+    # gather, or gather-free per-bounce threefry evaluation at the live
+    # sample ids (SlotBlock.rows_at; bit-identical, tested).  A/B'd on
+    # TPU via SRT_U_GATHER=1 (r5).
+    import os as _os
+    _u_gather = bool(_os.environ.get("SRT_U_GATHER"))
+    u_blk = stream.take_block(n_bounces * d_slots)        # [B*D, N]
+    u_bounce = (u_blk.full().reshape(n_bounces, d_slots, n)
+                if _u_gather else None)
 
     # Exited rays accumulate as (pix, color) CHUNKS, assembled once at the
     # end by argsort + row gather: XLA's arbitrary-row scatter costs
@@ -140,9 +147,11 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
             color_chunks.append(carry[3][:, width:])
             carry = tuple(
                 x[:, :width] if x.ndim == 2 else x[:width] for x in carry)
-        # Per-ray uniform slots via the position -> pixel map (row gather
-        # at the current width).
-        u = u_bounce[b].T[carry[5]].T
+        # Per-ray uniform slots via the position -> sample-id map.
+        if _u_gather:
+            u = u_bounce[b].T[carry[5]].T
+        else:
+            u = u_blk.rows_at(b * d_slots, (b + 1) * d_slots, carry[5])
         carry, st = pathtracer.bounce_step(
             hit_fns[b], lights, cfg, carry, b, u, sort=True)
         stats.append(st)

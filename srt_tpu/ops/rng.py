@@ -40,6 +40,42 @@ def total_slots(n_lights: int, n_bounces: int) -> int:
     return 2 + n_bounces * bounce_slots(n_lights)
 
 
+class SlotBlock:
+    """A reserved [k, n] uniform block that can be materialized either in
+    full (``full()`` == ``jax.random.uniform(sub, (k, n))``) or row-slice
+    by data-dependent columns (``rows_at``) WITHOUT a gather: the threefry
+    counter lattice is evaluated directly at the requested (slot, column)
+    indices.  Row gathers of pre-drawn uniform tables cost ~8 ms per
+    1M-ray bounce on TPU (measured r5, the compact driver's largest glue
+    item); recomputing ~100 integer ops per element on the VPU costs
+    ~1 ms.  Bit-equality with the gathered path is asserted by
+    tests/test_features.py (it depends on jax's partitionable threefry
+    layout: bits(j) = w0 ^ w1 of the (0, j) counter block)."""
+
+    def __init__(self, key: jax.Array, k: int, n: int):
+        self._key = key
+        self._k = k
+        self._n = n
+
+    def full(self) -> jnp.ndarray:
+        return jax.random.uniform(self._key, (self._k, self._n),
+                                  dtype=jnp.float32)
+
+    def rows_at(self, lo: int, hi: int, cols) -> jnp.ndarray:
+        """``full()[lo:hi, cols]``, gather-free.  ``cols`` [m] int."""
+        import jax.extend as jex
+        m = cols.shape[0]
+        j = (jnp.arange(lo, hi, dtype=jnp.uint32)[:, None] * self._n
+             + cols.astype(jnp.uint32)[None, :]).reshape(-1)
+        kd = jax.random.key_data(self._key)
+        out = jex.random.threefry_2x32(
+            kd, jnp.concatenate([jnp.zeros_like(j), j]))
+        bits = out[:j.shape[0]] ^ out[j.shape[0]:]
+        u = jax.lax.bitcast_convert_type(
+            (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+        return u.reshape(hi - lo, m)
+
+
 class KeyStream:
     """Threefry-backed uniform stream. Static slot counter, pure under jit."""
 
@@ -48,11 +84,30 @@ class KeyStream:
         self._n = n_rays
         self._counter = 0
 
-    def take(self, k: int) -> jnp.ndarray:
-        """Draw [k, n_rays] uniforms in [0, 1)."""
+    def take_block(self, k: int) -> SlotBlock:
+        """Reserve the next [k, n_rays] block (consumes one counter slot,
+        exactly like ``take``) without materializing it."""
         sub = jax.random.fold_in(self._key, self._counter)
         self._counter += 1
-        return jax.random.uniform(sub, (k, self._n), dtype=jnp.float32)
+        return SlotBlock(sub, k, self._n)
+
+    def take(self, k: int) -> jnp.ndarray:
+        """Draw [k, n_rays] uniforms in [0, 1)."""
+        return self.take_block(k).full()
+
+
+class _ArrayBlock:
+    """SlotBlock API over an injected uniform block (oracle testing);
+    ``rows_at`` falls back to a plain gather."""
+
+    def __init__(self, u):
+        self._u = u                                  # [k, N]
+
+    def full(self):
+        return self._u
+
+    def rows_at(self, lo: int, hi: int, cols):
+        return self._u[lo:hi].T[cols].T
 
 
 class ArrayStream:
@@ -72,6 +127,9 @@ class ArrayStream:
                 f"have {self._u.shape[1]}"
             )
         return u.T
+
+    def take_block(self, k: int) -> _ArrayBlock:
+        return _ArrayBlock(self.take(k))
 
 
 def host_uniforms(seed: int, n_rays: int, n_slots: int) -> np.ndarray:

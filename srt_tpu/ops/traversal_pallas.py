@@ -524,25 +524,32 @@ def _launch_cull_gmask(rays, cb8, w_bp, tile: int, interpret: bool):
     )(rays, cb8, w_bp)
 
 
-def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
-                     elist_ref, counts_ref, mf_ref, e_ref, amax_ref, *,
+def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, clist_ref, bits_ref,
+                     counts_ref, mf_ref, amax_ref, *,
                      tile: int, c_pad: int, s_count: int,
                      group: int = GROUP):
-    """pgwalk v2 cull: per-GROUP compacted, entry-ordered (super, cluster
-    bits) lists.
+    """pgwalk v2 cull: per-GROUP compacted (super, cluster bits) lists in
+    ascending SUPER INDEX order.
 
     rays_ref [8*tile, 8] VMEM; cb8_ref [8, Cp] cluster bounds; w_ref
-    [Cp, S] bitpack matrix; sb_ref [8, S] super bounds.  Outputs, per
-    group of GROUP=8 consecutive rays: clist [G, S] int32 (super ids,
-    near-to-far by super entry), bits [G, S] int32 (the listed super's
-    16 cluster-occupancy bits, aligned with clist), counts [G, 1] int32.
-    Scratch mf/e [8*tile/GROUP, S] f32 hold the per-group cluster-bit
-    values and super entries for the whole program so the rank-select
-    relayout dots batch all 128 groups at once.
+    [Cp, S] bitpack matrix.  Outputs, per group of ``group`` consecutive
+    rays: clist [G, S] int32 (active super ids, ascending), bits [G, S]
+    int32 (the listed super's 16 cluster-occupancy bits, aligned with
+    clist), counts [G, 1] int32.  Scratch mf [8*tile/group, S] f32 holds
+    the per-group cluster-bit values for the whole program so the
+    rank-select relayout dots batch all groups at once.
 
-    The rank-select is _cull_kernel pass 2 at group granularity: the
-    same gather-free one-hot-matmul compaction, with the entry/occ/bits
-    columns delivered by three batched [S, 128] identity-dot relayouts.
+    r5 redesign: the r4 version also slab-tested superclusters and
+    emitted NEAR-TO-FAR ordered lists — but the per-group walk has no
+    entry gate (the r4 phase-2 gate measured slower), so entry order
+    only affects exact-t ties.  Index order needs no entry distances:
+    the super slab pass is gone, ranks come from ONE batched
+    strictly-lower-triangular matmul over all groups (rank = number of
+    active supers with smaller index), and the per-group placement is a
+    2-op one-hot build + 2 reduce matmuls.  Tie rule BONUS: ascending
+    walk order + the walk's strict t< merge resolves exact-t ties to the
+    smallest triangle index — the dense path's argmin rule (the r4
+    near-to-far order resolved them to the nearest-entry super instead).
     """
     s = s_count
     gpt = tile // group
@@ -557,32 +564,44 @@ def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
     ident = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
              == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
              ).astype(jnp.float32)
+    # slt[c', c] = 1 for c' < c: rank = occ @ slt counts actives below.
+    slt = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+           ).astype(jnp.float32)
 
-    # Phase A+B: per-group cluster-bit values and super entries.
+    # Phase A: per-group cluster-occupancy bit values (chunked slab +
+    # exact integer bitpack matmul).
     for sub in range(8):
         rays = rays_ref[sub * tile:(sub + 1) * tile, :]
         t_max = rays[:, 6:7]
         amax_ref[0, 0] = jnp.max(t_max)
         rows = slice(sub * gpt, (sub + 1) * gpt)
         mf_ref[rows, :] = jnp.zeros((gpt, s), jnp.float32)
-        e_ref[rows, :] = jnp.full((gpt, s), BIG, jnp.float32)
 
         @pl.when(amax_ref[0, 0] > 0.0)
         def _slab(sub=sub, rays=rays, t_max=t_max, rows=rows):
-            ox = rays[:, 0:1]
-            oy = rays[:, 1:2]
-            oz = rays[:, 2:3]
             inv_x = 1.0 / rays[:, 3:4]
             inv_y = 1.0 / rays[:, 4:5]
             inv_z = 1.0 / rays[:, 5:6]
+            # fma form: t0 = box*inv - o*inv with o*inv hoisted — one
+            # fused op per bound instead of (sub, mul) (r5 slab diet).
+            oix = rays[:, 0:1] * inv_x
+            oiy = rays[:, 1:2] * inv_y
+            oiz = rays[:, 2:3] * inv_z
 
-            def slab(lo_r, hi_r):
-                t0x = (lo_r(0) - ox) * inv_x
-                t1x = (hi_r(0) - ox) * inv_x
-                t0y = (lo_r(1) - oy) * inv_y
-                t1y = (hi_r(1) - oy) * inv_y
-                t0z = (lo_r(2) - oz) * inv_z
-                t1z = (hi_r(2) - oz) * inv_z
+            acc = None
+            for ch in range(n_chunks):
+                lo = ch * CHUNK_C
+
+                def r(q, lo=lo):
+                    return cb8_ref[q:q + 1, lo:lo + CHUNK_C]
+
+                t0x = r(0) * inv_x - oix
+                t1x = r(3) * inv_x - oix
+                t0y = r(1) * inv_y - oiy
+                t1y = r(4) * inv_y - oiy
+                t0z = r(2) * inv_z - oiz
+                t1z = r(5) * inv_z - oiz
                 t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                                  jnp.minimum(t0y, t1y)),
                                      jnp.minimum(t0z, t1z))
@@ -595,15 +614,7 @@ def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
                 # bound can still hold nearer candidates - the exit is no
                 # lower bound on candidate t; 0 is.
                 sel = jnp.maximum(t_near, 0.0)
-                hit_b = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
-                return hit_b, sel
-
-            acc = None
-            for ch in range(n_chunks):
-                lo = ch * CHUNK_C
-                hit_c, _ = slab(
-                    lambda q, lo=lo: cb8_ref[q:q + 1, lo:lo + CHUNK_C],
-                    lambda q, lo=lo: cb8_ref[q + 3:q + 4, lo:lo + CHUNK_C])
+                hit_c = (t_near <= t_far) & (t_far >= 0.0) & (sel < t_max)
                 occ = jnp.where(hit_c, 1.0, 0.0)
                 occ_g = jnp.max(occ.reshape(gpt, group, CHUNK_C), axis=1)
                 part = jax.lax.dot_general(
@@ -612,45 +623,30 @@ def _cull_pg2_kernel(rays_ref, cb8_ref, w_ref, sb_ref, clist_ref, bits_ref,
                 acc = part if acc is None else acc + part
             mf_ref[rows, :] = acc
 
-            hit_s, sel_s = slab(lambda q: sb_ref[q:q + 1, :],
-                                lambda q: sb_ref[q + 3:q + 4, :])
-            e_ray = jnp.where(hit_s, sel_s, BIG)           # [tile, S]
-            e_ref[rows, :] = jnp.min(e_ray.reshape(gpt, group, s), axis=1)
-
-    # Phase C: per-group rank-select.  Occupancy comes from the CLUSTER
-    # bits (tighter than the super slab); a super whose cluster bits are
-    # set but whose slab entry rounded to BIG sorts first (harmless).
-    mf_all = mf_ref[:]                                     # [128, S]
+    # Phase C: batched index-order rank, per-group one-hot select.
+    mf_all = mf_ref[:]                                     # [G_blk, S]
     occ_all = (mf_all > 0.0).astype(jnp.float32)
-    e_all = jnp.where((occ_all > 0.0) & (e_ref[:] >= BIG), 0.0, e_ref[:])
     counts_ref[:] = jnp.sum(occ_all, axis=1,
                             keepdims=True).astype(jnp.int32)
-    e_t = jax.lax.dot_general(ident, e_all, dn_t, precision=hi,
-                              preferred_element_type=jnp.float32)  # [S,128]
-    o_t = jax.lax.dot_general(ident, occ_all, dn_t, precision=hi,
-                              preferred_element_type=jnp.float32)
+    ranks = jax.lax.dot_general(occ_all, slt, dn, precision=hi,
+                                preferred_element_type=jnp.float32)
+    # Inactive supers get rank S (never matches a list slot).
+    rank_key = jnp.where(occ_all > 0.0, ranks, float(s))
+    r_t = jax.lax.dot_general(ident, rank_key, dn_t, precision=hi,
+                              preferred_element_type=jnp.float32)  # [S,Gb]
     m_t = jax.lax.dot_general(ident, mf_all, dn_t, precision=hi,
                               preferred_element_type=jnp.float32)
     for g in range(8 * (tile // group)):
-        entry = e_all[g:g + 1, :]                          # [1, S]
-        occ = occ_all[g:g + 1, :]
-        e_s = e_t[:, g:g + 1]                              # [S, 1]
-        o_s = o_t[:, g:g + 1]
-        m_s = m_t[:, g:g + 1]
-        before = jnp.where(
-            (entry < e_s) | ((entry == e_s) & (iota_l < iota_s)), occ, 0.0)
-        rank_s = jnp.sum(before, axis=1, keepdims=True)    # [S, 1]
-        m = jnp.where((rank_s == iota_l) & (o_s > 0), 1.0, 0.0)  # [S, S]
+        r_s = r_t[:, g:g + 1]                              # [S, 1]
+        m = jnp.where(r_s == iota_l, 1.0, 0.0)             # [S, S]
         clist_ref[g:g + 1, :] = jnp.sum(
             m * iota_s, axis=0, keepdims=True).astype(jnp.int32)
         bits_ref[g:g + 1, :] = jnp.sum(
-            m * m_s, axis=0, keepdims=True).astype(jnp.int32)
-        elist_ref[g:g + 1, :] = jnp.sum(
-            m * jnp.where(o_s > 0, e_s, 0.0), axis=0, keepdims=True)
+            m * m_t[:, g:g + 1], axis=0, keepdims=True).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret", "group"))
-def _launch_cull_pg2(rays, cb8, w_bp, sbounds, tile: int, interpret: bool,
+def _launch_cull_pg2(rays, cb8, w_bp, tile: int, interpret: bool,
                      group: int = GROUP):
     n_tiles = rays.shape[0] // tile
     assert n_tiles % 8 == 0 and tile % group == 0
@@ -669,18 +665,13 @@ def _launch_cull_pg2(rays, cb8, w_bp, sbounds, tile: int, interpret: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_pad, s), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, s), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
             jax.ShapeDtypeStruct((n_groups, s), jnp.int32),
-            jax.ShapeDtypeStruct((n_groups, s), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, 1), jnp.int32),
         ],
         out_specs=[
-            pl.BlockSpec((g_blk, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, s), lambda i: (i, 0),
@@ -689,10 +680,9 @@ def _launch_cull_pg2(rays, cb8, w_bp, sbounds, tile: int, interpret: bool,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((g_blk, s), jnp.float32),
-                        pltpu.VMEM((g_blk, s), jnp.float32),
                         pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
-    )(rays, cb8, w_bp, sbounds)
+    )(rays, cb8, w_bp)
 
 
 def _popcount16(v):
@@ -1552,8 +1542,8 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                == jnp.arange(s_count)[None, :]),
             pow2[:, None], 0.0).astype(jnp.float32)        # [Cp, S]
         if binned == "pg2":
-            clist, bits, _elist, counts = _launch_cull_pg2(
-                rays8, cb8, w_bp, sbounds, tile, interpret,
+            clist, bits, counts = _launch_cull_pg2(
+                rays8, cb8, w_bp, tile, interpret,
                 group=pg_group)
             out_t, out_i = _launch_pgwalk2(clist, bits, counts,
                                            rays8, woop_slice, interpret,

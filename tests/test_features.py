@@ -450,3 +450,29 @@ def test_ray_cones_through_integrator():
     diff = np.abs(a - b)
     assert diff.max() > 1e-4
     assert diff.mean() < 0.2
+
+
+def test_slotblock_rows_at_matches_full():
+    """Gather-free slot evaluation (ops/rng.SlotBlock.rows_at) must be
+    bit-equal to materializing the block and gathering rows — it encodes
+    jax's partitionable-threefry counter layout, so any jax-internal
+    change must be caught here, not as silently different renders."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.ops.rng import KeyStream
+
+    n, k = 4096, 12
+    s1 = KeyStream(jax.random.key(9), n)
+    s2 = KeyStream(jax.random.key(9), n)
+    full = s1.take(k)
+    blk = s2.take_block(k)
+    cols = jnp.asarray(np.random.default_rng(1).permutation(n)[:1000])
+    np.testing.assert_array_equal(
+        np.asarray(blk.rows_at(0, k, cols)), np.asarray(full[:, cols]))
+    np.testing.assert_array_equal(
+        np.asarray(blk.rows_at(3, 7, cols)), np.asarray(full[3:7, cols]))
+    # Counter advance must match take()'s.
+    np.testing.assert_array_equal(np.asarray(s1.take(2)),
+                                  np.asarray(s2.take(2)))

@@ -230,6 +230,46 @@ def test_binned_matches_tiled():
                                       np.asarray(a_b) != -1)
 
 
+def test_pgwalk_matches_tiled():
+    """Per-group walks ("pg" mask-scan and "pg2:G:W" compacted-list, the
+    production late-bounce + shadow modes) must return the SAME hits as
+    the tiled walk — same winner index, bit-equal candidate t — for live
+    and mixed live/dead wavefronts, closest-hit AND any-hit with a
+    nonzero t_min lower bound (the shadow epsilon), across group sizes
+    and eval widths.  (r4 advisor: these modes previously had no suite
+    coverage — only the TPU-side parity artifact.)"""
+    from srt_tpu.ops.traversal_pallas import pallas_model_hit
+
+    mesh = procgen.uv_sphere(40, 60)     # several superclusters
+    scene = mesh_mod.upload(flatten_models([mesh], pad_to=128))
+    o, d = random_rays(1024, seed=11)
+    t_live = jnp.full((1024,), jnp.inf)
+    t_mixed = t_live.at[::3].set(0.0)    # terminated paths
+
+    for t_max in (t_live, t_mixed):
+        t_t, i_t, _, _ = pallas_model_hit(scene, 0, o, d, t_max, tile=128)
+        for mode in ("pg", "pg2:8:2", "pg2:16:4", "pg2:32:4"):
+            t_p, i_p, _, _ = pallas_model_hit(scene, 0, o, d, t_max,
+                                              tile=128, binned=mode)
+            np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_p))
+            hit = np.asarray(i_t) != -1
+            np.testing.assert_array_equal(np.asarray(t_t)[hit],
+                                          np.asarray(t_p)[hit])
+
+        # Any-hit (shadow) mode with a segment-clipped t_max and the
+        # t_min self-hit epsilon threaded into the kernel.
+        t_seg = jnp.where(t_max > 0, 4.5, 0.0)
+        _, a_t, _, _ = pallas_model_hit(scene, 0, o, d, t_seg,
+                                        any_hit=True, tile=128,
+                                        t_min=1e-2)
+        for mode in ("pg", "pg2:16:4", "pg2:64:4"):
+            _, a_p, _, _ = pallas_model_hit(scene, 0, o, d, t_seg,
+                                            any_hit=True, tile=128,
+                                            t_min=1e-2, binned=mode)
+            np.testing.assert_array_equal(np.asarray(a_t) != -1,
+                                          np.asarray(a_p) != -1)
+
+
 def test_binned_overflow_falls_back_exactly():
     """When the static pair capacity is exceeded, the lax.cond fallback
     must run the tiled walk — results identical to binned=False, never a

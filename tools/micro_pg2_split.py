@@ -18,6 +18,7 @@ from srt_tpu.models import mesh as mesh_mod
 from srt_tpu.models import pathtracer
 from srt_tpu.models.mesh import transform_rays
 from srt_tpu.ops import traversal_pallas as tp
+from srt_tpu.ops.traversal_pallas import pallas_model_hit
 from srt_tpu.ops.rng import KeyStream
 from srt_tpu.scene import model_scene_lights
 from srt_tpu.utils.flatten import flatten_models
@@ -137,12 +138,16 @@ def main():
         rays8.block_until_ready()
 
         print(f"--- bounce {b + 1}: {n_alive} live (width {width}) ---")
-        for g in (16, 32, 64, 128):
+        glist = tuple(int(x) for x in os.environ.get(
+            "SRT_GLIST", "16,32,64,128").split(",") if x)
+        for g in glist:
             cull = jax.jit(lambda r, g=g: tp._launch_cull_pg2(
-                r, cb8, w_bp, sbounds, tile, False, group=g))
+                r, cb8, w_bp, tile, False, group=g))
             dt_c = timeit(cull, rays8)
-            clist, bits, elist, counts = cull(rays8)
-            for w in (4,):
+            clist, bits, counts = cull(rays8)
+            wlist = tuple(int(x) for x in os.environ.get(
+                'SRT_WLIST', '4').split(','))
+            for w in wlist:
                 walk = jax.jit(lambda cl, bi, co, r, g=g, w=w:
                                tp._launch_pgwalk2(
                                    cl, bi, co, r, scene.woop, False,
@@ -163,6 +168,33 @@ def main():
                       f"entries mean {cnt[cnt>0].mean():.1f} "
                       f"clusters/grp mean {live.mean():.1f} "
                       f"p90 {np.percentile(live, 90):.0f}")
+
+        # Shadow-style any-hit on the same origins: toward the nearest
+        # light, segment-clipped t_max (the _occluded construction).
+        lp = jnp.asarray(lights.position).T                 # [3, L]
+        d2 = jnp.sum((lp[:, None, :] - o_b[:, :, None]) ** 2, axis=0)
+        pick = jnp.argmin(d2, axis=1)
+        delta = lp[:, pick] - o_b
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=0))
+        sdir = delta / jnp.maximum(dist, 1e-9)[None, :]
+        s_tm = jnp.where(t_max > 0, dist, 0.0)
+        f_st = jax.jit(lambda o_, d_, tm: pallas_model_hit(
+            scene, 0, o_, d_, tm, tile=128, any_hit=True, t_min=1e-3))
+        dt_st = timeit(f_st, o_b, sdir, s_tm)
+        _, is_t, _, _ = f_st(o_b, sdir, s_tm)
+        occl = float(jnp.mean((is_t >= 0).astype(jnp.float32)))
+        line = (f"  shadow (occl {occl:.2f}): tiled {dt_st*1e3:7.1f} ms")
+        for mode in ("pg2:32:4", "pg2:64:4", "pg2:128:4"):
+            f_sp = jax.jit(lambda o_, d_, tm, m=mode: pallas_model_hit(
+                scene, 0, o_, d_, tm, tile=128, any_hit=True,
+                t_min=1e-3, binned=m))
+            dt_sp = timeit(f_sp, o_b, sdir, s_tm)
+            _, is_p, _, _ = f_sp(o_b, sdir, s_tm)
+            ag = float(jnp.mean(((is_t >= 0) == (is_p >= 0))
+                                .astype(jnp.float32)))
+            line += (f"  {mode} {dt_sp*1e3:6.1f} ms ({dt_st/dt_sp:4.2f}x"
+                     f" ag={ag:.4f})")
+        print(line)
 
 
 if __name__ == "__main__":
