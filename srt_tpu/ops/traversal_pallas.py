@@ -707,10 +707,10 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
     merged with one select pass: a single [8, 128] eval is LATENCY-bound
     (one 24-FMA chain on one vreg), so pairing nearly doubles
     throughput; an odd tail duplicates the last cluster, which the
-    strict t< merge makes a no-op.  Tie rule: entries are walked
-    near-to-far with strict t<, ties within a pair resolve to the first
-    (lower cluster index) — identical to the tiled walk up to exact-t
-    ties across supers."""
+    strict t< merge makes a no-op.  Tie rule (r5): entries arrive in
+    ascending super-index order (see ``_cull_pg2_kernel``), so the
+    strict t< merge resolves exact-t ties to the smallest triangle
+    index — the dense path's argmin rule exactly."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (group, CLUSTER), 1)
 
     for g in range(8):
@@ -722,39 +722,48 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
         dx = rays[:, 3:4]
         dy = rays[:, 4:5]
         dz = rays[:, 5:6]
-        t_max = rays[:, 6:7]
+        # Cap at BIG: invalid eval lanes carry t_cand = BIG, which must
+        # never strictly beat the no-hit bound (t_max may be +inf when
+        # the kernel is driven directly without the root-AABB clip).
+        t_max = jnp.minimum(rays[:, 6:7], BIG)
         t_lo = rays[:, 7:8] if any_hit else None
-        bt_ref[sl, :] = jnp.broadcast_to(t_max, (group, CLUSTER))
-        bi_ref[sl, :] = jnp.full((group, CLUSTER), jnp.int32(2 ** 30),
-                                 jnp.int32)
+        # Dead/empty groups (no listed supers: all-dead rays, or live
+        # rays missing the whole model) pay only these two writes — the
+        # [G, 128] scratch init, the walk and the epilogue reduce are
+        # gated off (r5; shadow batches have many all-miss groups).
+        out_t_ref[sl, :] = t_max
+        out_i_ref[sl, :] = jnp.full((group, 1), -1, jnp.int32)
 
         def eval_cluster(c):
-            """One [8, 128] Woop evaluation -> (t, idx, valid-sans-best).
-            Pure (no ref writes) so two evals stay independent chains."""
+            """One [8, 128] Woop evaluation -> (t_cand, idx) with
+            t_cand = BIG for invalid lanes.  Pure (no ref writes) so
+            parallel evals stay independent chains.  Affine rows are
+            folded as nested fmas (translation seeds the chain) — 3
+            fewer macro-ops than the sum-of-products form (r5 diet)."""
             w = woop_ref[c]
 
             def r(q):
                 return w[q:q + 1, :]
 
-            zo = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
-            zd = dx * r(8) + dy * r(9) + dz * r(10)
+            zo = ox * r(8) + (oy * r(9) + (oz * r(10) + r(11)))
+            zd = dx * r(8) + (dy * r(9) + dz * r(10))
             parallel = jnp.abs(zd) <= r(12)
             den = jnp.where(parallel, 1.0, zd)
             inv = pl.reciprocal(den, approx=True)
             inv = inv * (2.0 - den * inv)
             t = -zo * inv
-            xo = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
-            xd = dx * r(0) + dy * r(1) + dz * r(2)
+            xo = ox * r(0) + (oy * r(1) + (oz * r(2) + r(3)))
+            xd = dx * r(0) + (dy * r(1) + dz * r(2))
             u = xo + t * xd
-            yo = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
-            yd = dx * r(4) + dy * r(5) + dz * r(6)
+            yo = ox * r(4) + (oy * r(5) + (oz * r(6) + r(7)))
+            yd = dx * r(4) + (dy * r(5) + dz * r(6))
             v = yo + t * yd
             mm = jnp.minimum(jnp.minimum(u, v),
                              (1.0 + 2 * EDGE_EPS) - u - v)
             valid = (mm >= -EDGE_EPS) & (~parallel) & (t > T_EPS)
             if any_hit:
                 valid = valid & (t > t_lo)
-            return t, c * CLUSTER + lane, valid
+            return jnp.where(valid, t, BIG), c * CLUSTER + lane
 
         def entry_body(j, carry, g=g, sl=sl):
             bits0 = bits_ref[g, j]
@@ -788,8 +797,8 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
                 evals = [eval_cluster(base + k) for k in ks]
                 bt = bt_ref[sl, :]
                 bi = bi_ref[sl, :]
-                for t_w, i_w, v_w in evals:
-                    w_m = v_w & (t_w < bt)
+                for t_w, i_w in evals:
+                    w_m = t_w < bt          # t_w = BIG when invalid
                     bt = jnp.where(w_m, t_w, bt)
                     bi = jnp.where(w_m, i_w, bi)
                 bt_ref[sl, :] = bt
@@ -807,16 +816,21 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
         # almost never fires while its sync + per-entry compare always
         # cost.  Per-ray gates need per-ray granularity, which is the
         # tiled walk's regime, not this one.)
-        jax.lax.fori_loop(0, counts_ref[g, 0], entry_body, 0)
+        @pl.when(counts_ref[g, 0] > 0)
+        def _walk_group(g=g, sl=sl, t_max=t_max):
+            bt_ref[sl, :] = jnp.broadcast_to(t_max, (group, CLUSTER))
+            bi_ref[sl, :] = jnp.full((group, CLUSTER), jnp.int32(2 ** 30),
+                                     jnp.int32)
+            jax.lax.fori_loop(0, counts_ref[g, 0], entry_body, 0)
 
-        best_t = bt_ref[sl, :]
-        best_i = bi_ref[sl, :]
-        t_min = jnp.min(best_t, axis=1, keepdims=True)
-        hit = t_min < t_max
-        i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
-        i_min = jnp.min(i_cand, axis=1, keepdims=True)
-        out_t_ref[sl, :] = t_min
-        out_i_ref[sl, :] = jnp.where(hit, i_min, -1)
+            best_t = bt_ref[sl, :]
+            best_i = bi_ref[sl, :]
+            t_min = jnp.min(best_t, axis=1, keepdims=True)
+            hit = t_min < t_max
+            i_cand = jnp.where(best_t <= t_min, best_i, jnp.int32(2 ** 30))
+            i_min = jnp.min(i_cand, axis=1, keepdims=True)
+            out_t_ref[sl, :] = t_min
+            out_i_ref[sl, :] = jnp.where(hit, i_min, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "any_hit",
