@@ -362,28 +362,20 @@ def config8_streamed_large_scene():
 
     cam = CameraConfig(width=size, height=size, origin=(0.0, 1.0, 5.0),
                        look_at=(0.0, 0.0, 0.0))
-    cfg = RenderConfig(max_depth=2, rr_bounces=0, spp=1, sort_bounces=True)
+    cfg = RenderConfig(max_depth=2, rr_bounces=0, spp=1)
     lights = model_scene_lights()
-    # mesh_hit_fn's pallas branch auto-streams over the VMEM threshold.
-    hit = mesh_mod.mesh_hit_fn(scene, method="pallas")
+    # Library fast path: the walk schedule now streams pg2 late bounces
+    # (per-entry double-buffered DMA) on Airplane-class tables too (r5).
+    from srt_tpu.models.fastpath import make_render_plan
+    plan = make_render_plan(scene, lights, cam, cfg)
 
-    from srt_tpu.camera import derive_viewport, generate_rays
-    from srt_tpu.ops.rng import KeyStream
-    n = size * size
-
-    def run(key):
-        stream = KeyStream(key, n)
-        vp = derive_viewport(cam)
-        jitter = stream.take(2)
-        o, d = generate_rays(vp, cam.width, cam.height, jitter)
-        return pathtracer.trace_wavefront(hit, lights, o, d, stream, cfg,
-                                          return_stats=True)
-
-    (color, stats), dt = _timed(jax.jit(run), jax.random.key(0), reps=3)
+    (color, stats, overflow), dt = _timed(
+        lambda k: plan.render(k), jax.random.key(0), reps=3)
+    assert int(overflow) == 0, "compact schedule overflowed"
     rays = int(np.asarray(stats).sum())
     finite = bool(np.isfinite(np.asarray(color)).all())
     emit(metric=f"config8 streamed {mesh_data.num_triangles}tri "
-                f"{size}x{size} fwd (HBM-streamed Woop)",
+                f"{size}x{size} fwd (HBM-streamed Woop, library fastpath)",
          value=round(rays / dt / 1e6, 2), unit="Mrays/s",
          vs_baseline=float(finite))
 

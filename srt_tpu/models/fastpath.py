@@ -25,9 +25,10 @@ The heuristics (v5e measurements, ROADMAP r4):
   footprints): ``pg2:128:4`` early, ``pg2:64:4`` late;
 * small scenes (<= 8 superclusters): culling cannot help; everything
   stays on the tiled walk at the kernel's default tile;
-* HBM-streamed scenes (> ~218k triangles): per-group walks stream their
-  listed supers' Woop blocks the same way the tiled walk does
-  (``traversal_pallas`` stream mode).
+* HBM-streamed scenes (> ~218k triangles): same schedule — the r5 pg2
+  walk streams each listed super's Woop block with per-entry
+  double-buffered DMA (``traversal_pallas`` stream mode), so the
+  Airplane-class regime gets the same late-bounce mechanism.
 
 Reference analog: the per-thread early-out economics of ``Intersects``
 (/root/reference/shaders/ray_intersects.glsl:99-133) — the schedule is how

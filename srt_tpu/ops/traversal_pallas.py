@@ -695,8 +695,10 @@ def _popcount16(v):
 
 
 def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
-                    woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref, *,
-                    any_hit: bool, group: int = GROUP, ewidth: int = 2):
+                    woop_ref, out_t_ref, out_i_ref, bt_ref, bi_ref,
+                    *stream_refs,
+                    any_hit: bool, group: int = GROUP, ewidth: int = 2,
+                    stream: bool = False):
     """pgwalk v2: walk each group's compacted (super, bits) list.
 
     Per list entry, clusters are visited by iterated lowest-set-bit
@@ -710,7 +712,29 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
     strict t< merge makes a no-op.  Tie rule (r5): entries arrive in
     ascending super-index order (see ``_cull_pg2_kernel``), so the
     strict t< merge resolves exact-t ties to the smallest triangle
-    index — the dense path's argmin rule exactly."""
+    index — the dense path's argmin rule exactly.
+
+    ``stream=True`` (r5): the Airplane-class large-scene mode — the Woop
+    table stays in HBM and each listed super's 16-cluster block (128 KB)
+    is double-buffer DMA'd into VMEM scratch, prefetching the group's
+    NEXT list entry under the current entry's evals (the compacted list
+    is its own prefetch schedule, exactly like the tiled kernel's stream
+    mode).  The 8 group walks run sequentially, so each group warms up
+    its entry-0 DMA before its loop; ``pend`` tracks the one
+    possibly-dangling prefetch per group for the drain (scratch
+    semaphores persist across grid steps).  stream_refs = (wbuf
+    [2, SUPER, 16, CLUSTER] VMEM, dma_sem [2], pend [1, 1] SMEM)."""
+    if stream:
+        wbuf_ref, dma_sem, pend_ref = stream_refs
+
+        def _group_dma(g, j, slot):
+            s_idx = clist_ref[g, j]
+            return pltpu.make_async_copy(
+                woop_ref.at[pl.ds(s_idx * SUPER, SUPER)],
+                wbuf_ref.at[slot],
+                dma_sem.at[slot],
+            )
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (group, CLUSTER), 1)
 
     for g in range(8):
@@ -734,13 +758,13 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
         out_t_ref[sl, :] = t_max
         out_i_ref[sl, :] = jnp.full((group, 1), -1, jnp.int32)
 
-        def eval_cluster(c):
-            """One [8, 128] Woop evaluation -> (t_cand, idx) with
-            t_cand = BIG for invalid lanes.  Pure (no ref writes) so
-            parallel evals stay independent chains.  Affine rows are
-            folded as nested fmas (translation seeds the chain) — 3
-            fewer macro-ops than the sum-of-products form (r5 diet)."""
-            w = woop_ref[c]
+        def eval_cluster(w, c):
+            """One [8, 128] Woop evaluation of row block ``w`` ([16, 128],
+            VMEM-resident table slice or streamed buffer) for global
+            cluster id ``c`` -> (t_cand, idx) with t_cand = BIG for
+            invalid lanes.  Pure (no ref writes) so parallel evals stay
+            independent chains.  Affine rows are folded as nested fmas
+            (translation seeds the chain)."""
 
             def r(q):
                 return w[q:q + 1, :]
@@ -769,6 +793,15 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
             bits0 = bits_ref[g, j]
             s_idx = clist_ref[g, j]
             base = s_idx * SUPER
+            if stream:
+                slot = jax.lax.rem(j, 2)
+                _group_dma(g, j, slot).wait()
+                pend_ref[0, 0] = -1
+
+                @pl.when(j + 1 < counts_ref[g, 0])
+                def _prefetch(g=g, j=j):
+                    _group_dma(g, j + 1, jax.lax.rem(j + 1, 2)).start()
+                    pend_ref[0, 0] = j + 1
 
             def bits_cond(b):
                 return b != 0
@@ -794,7 +827,12 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
                     ks.append(k_w)
                     prev_k = k_w
 
-                evals = [eval_cluster(base + k) for k in ks]
+                if stream:
+                    evals = [eval_cluster(wbuf_ref[slot, k], base + k)
+                             for k in ks]
+                else:
+                    evals = [eval_cluster(woop_ref[base + k], base + k)
+                             for k in ks]
                 bt = bt_ref[sl, :]
                 bi = bi_ref[sl, :]
                 for t_w, i_w in evals:
@@ -821,7 +859,19 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
             bt_ref[sl, :] = jnp.broadcast_to(t_max, (group, CLUSTER))
             bi_ref[sl, :] = jnp.full((group, CLUSTER), jnp.int32(2 ** 30),
                                      jnp.int32)
+            if stream:
+                _group_dma(g, 0, 0).start()   # warm up this group's pipe
+                pend_ref[0, 0] = 0
             jax.lax.fori_loop(0, counts_ref[g, 0], entry_body, 0)
+            if stream:
+                # Every entry body runs (no gate), so each issued DMA is
+                # normally waited in-body; the drain is a guard for the
+                # scratch semaphore across groups/grid steps.
+                @pl.when(pend_ref[0, 0] >= 0)
+                def _drain(g=g):
+                    jp = pend_ref[0, 0]
+                    _group_dma(g, jp, jax.lax.rem(jp, 2)).wait()
+                    pend_ref[0, 0] = -1
 
             best_t = bt_ref[sl, :]
             best_i = bi_ref[sl, :]
@@ -834,15 +884,27 @@ def _pgwalk2_kernel(clist_ref, bits_ref, counts_ref, rays_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "any_hit",
-                                             "group", "ewidth"))
+                                             "group", "ewidth", "stream"))
 def _launch_pgwalk2(clist, bits, counts, rays, woop,
                     interpret: bool, any_hit: bool = False,
-                    group: int = GROUP, ewidth: int = 2):
+                    group: int = GROUP, ewidth: int = 2,
+                    stream: bool = False):
     n_groups = rays.shape[0] // group
     assert n_groups % 8 == 0
     s = clist.shape[1]
+    if stream:
+        assert woop.shape[0] % SUPER == 0, \
+            "stream mode needs the Woop table padded to whole supers"
     kernel = functools.partial(_pgwalk2_kernel, any_hit=any_hit,
-                               group=group, ewidth=ewidth)
+                               group=group, ewidth=ewidth, stream=stream)
+    scratch = [pltpu.VMEM((8 * group, CLUSTER), jnp.float32),
+               pltpu.VMEM((8 * group, CLUSTER), jnp.int32)]
+    if stream:
+        scratch += [
+            pltpu.VMEM((2, SUPER, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(n_groups // 8,),
@@ -855,7 +917,7 @@ def _launch_pgwalk2(clist, bits, counts, rays, woop,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8 * group, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * group, 1), jnp.float32),
@@ -867,8 +929,7 @@ def _launch_pgwalk2(clist, bits, counts, rays, woop,
             pl.BlockSpec((8 * group, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((8 * group, CLUSTER), jnp.float32),
-                        pltpu.VMEM((8 * group, CLUSTER), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(clist, bits, counts, rays, woop)
 
@@ -1282,7 +1343,7 @@ def _launch(counts, clist, elist, rays, cbounds, woop, tile: int,
             "stream mode needs the Woop table padded to whole supers"
     kernel = functools.partial(_intersect_kernel, tile=tile, any_hit=any_hit,
                                stream=stream, count_evals=count_evals)
-    woop_space = pltpu.ANY if stream else pltpu.VMEM
+    woop_space = pl.ANY if stream else pltpu.VMEM
     scratch = [
         pltpu.VMEM((tile, CLUSTER), jnp.float32),
         pltpu.VMEM((tile, CLUSTER), jnp.int32),
@@ -1531,13 +1592,17 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
         if len(parts) > 2:
             pg_width = int(parts[2])
         binned = "pg2"
-    if binned in ("pg", "pg2") and s_count > 1 and not stream:
+    if binned in ("pg", "pg2") and s_count > 1 \
+            and (binned == "pg2" or not stream):
         # Per-group walk: cluster-occupancy bit masks from the gmask cull
         # drive a per-8-ray-group cluster walk — no pair expansion, no
         # gather/scatter, rays stay in wavefront order (see the pgwalk
-        # section above).  "pg2" adds compacted entry-ordered lists and
-        # the 2-wide ILP eval (the production variant); "pg" keeps the
-        # mask-scan walk for comparison.
+        # section above).  "pg2" adds compacted index-ordered lists and
+        # the W-wide ILP eval (the production variant; r5 also handles
+        # HBM-streamed Airplane-class tables via per-entry double-buffer
+        # DMA — the cull only ever touches the VMEM-resident AABB
+        # tables, so it is unchanged); "pg" keeps the mask-scan walk for
+        # comparison (VMEM-resident only).
         c_cpad = -(-n_clusters // CHUNK_C) * CHUNK_C
         nan_pad = ((0, c_cpad - n_clusters), (0, 0))
         cmin_c = jnp.pad(cmin, nan_pad, constant_values=jnp.nan)
@@ -1563,7 +1628,8 @@ def pallas_model_hit(scene, b: int, origins, dirs, t_best,
                                            rays8, woop_slice, interpret,
                                            any_hit=any_hit,
                                            group=pg_group,
-                                           ewidth=pg_width)
+                                           ewidth=pg_width,
+                                           stream=stream)
         else:
             mask = _launch_cull_gmask(rays8, cb8, w_bp, tile, interpret)
             out_t, out_i = _launch_pgwalk(mask, rays8, woop_slice,

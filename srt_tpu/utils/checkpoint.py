@@ -97,13 +97,17 @@ def save_orbax(path: str, tree: Any) -> None:
 
 
 def load_orbax(path: str, template: Any):
-    """Restore a pytree saved by ``save_orbax``; None if missing."""
+    """Restore a pytree saved by ``save_orbax``; None if missing.
+
+    Uses the args-based restore API (the ``item=`` kwarg is deprecated
+    on orbax >= 0.11 and slated for removal — r4 advisor)."""
     import orbax.checkpoint as ocp
 
     if not os.path.exists(path):
         return None
     with ocp.PyTreeCheckpointer() as ck:
-        return ck.restore(os.path.abspath(path), item=template)
+        return ck.restore(os.path.abspath(path),
+                          args=ocp.args.PyTreeRestore(item=template))
 
 
 def save_train_state(path: str, params, opt_state, step: int) -> None:

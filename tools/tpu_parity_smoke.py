@@ -144,6 +144,11 @@ def main():
     o, d = random_rays(65536, 7, 4.0)
     results["cases"].append(
         check("503k-streamed/random 64k", big, o, d, chunk=256))
+    # r5: the per-group walk in STREAM mode (per-entry double-buffered
+    # Woop DMA) on real Mosaic — the Airplane-class late-bounce mode.
+    results["cases"].append(
+        check("503k-streamed/random 64k pg2:32:4", big, o, d, chunk=256,
+              binned="pg2:32:4"))
 
     ok = all(c["pass"] for c in results["cases"])
     results["pass"] = ok
