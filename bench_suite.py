@@ -460,6 +460,100 @@ def config9_textured_headline():
          vs_baseline=round(dt_plain / dt_tex, 3))
 
 
+def config10_inverse_rendering():
+    """End-to-end inverse-rendering step time on the hardware — the
+    capability the differentiable stack exists for (r4 verdict #7; the
+    reference has no optimization loop at all):
+
+    * Rubik-scale vertex recovery through the EDGE-AWARE mesh renderer
+      (silhouette gradients, ring search) — seconds/optimizer step;
+    * 102k-tri vertex+material recovery through the plain path-space
+      pallas pipeline — seconds/optimizer step.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models import pathtracer
+    from srt_tpu.models.edge_aware_mesh import render_edge_aware_mesh
+    from srt_tpu.optim import run_inverse_rendering
+    from srt_tpu.scene import model_scene_lights
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.procgen import rubik_grid, uv_sphere
+
+    on_tpu = jax.default_backend() == "tpu"
+    lights = model_scene_lights()
+    method = "pallas" if on_tpu else "dense"
+
+    # --- (a) edge-aware vertex recovery, Rubik scale ---
+    scene, _ = _rubik_scene()
+    size = 32 if (SMALL or not on_tpu) else 256
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 20.0, 20.0),
+                       look_at=(0.0, 1.0, -1.0))
+    cfg = RenderConfig(max_depth=2, rr_bounces=0, morton_order=False)
+
+    def render_ea(positions, key):
+        s = mesh_mod.with_positions(scene, positions)
+        return render_edge_aware_mesh(s, lights, cam, cfg, key,
+                                      method=method, search="ring",
+                                      rings=1)
+
+    target = render_ea(scene.positions, jax.random.key(7))
+    steps = 3 if (SMALL or not on_tpu) else 6
+    import time as _time
+
+    def timed_run(render_fn, params0, target, key, lr):
+        """Steady-state s/step: per-step wall times via the callback,
+        step 0 (holds the jit compile) dropped."""
+        stamps = [_time.perf_counter()]
+        res = run_inverse_rendering(
+            render_fn, params0, target, key, steps=steps,
+            learning_rate=lr, fixed_noise=True, log_every=0,
+            callback=lambda i, p, l: stamps.append(_time.perf_counter()))
+        deltas = np.diff(stamps)[1:]                  # drop compile step
+        return res, float(deltas.mean())
+
+    res, dt = timed_run(render_ea, scene.positions * 1.002, target,
+                        jax.random.key(7), 2e-3)
+    ok = np.isfinite(res.losses).all() and min(res.losses) <= res.losses[0]
+    emit(metric=f"config10a inverse-render edge-aware Rubik "
+                f"{size}x{size} ({method}, ring search)",
+         value=round(dt, 3), unit="s/step", vs_baseline=float(ok))
+
+    # --- (b) plain path-space vertex+material recovery, 102k tris ---
+    rows, cols = (12, 18) if (SMALL or not on_tpu) else (160, 320)
+    hi_scene = mesh_mod.upload(
+        flatten_models([uv_sphere(rows, cols, radius=2.0)],
+                       pad_to=128 if method == "pallas" else 1))
+    size_b = 32 if (SMALL or not on_tpu) else 256
+    cam_b = CameraConfig(width=size_b, height=size_b,
+                         origin=(0.0, 1.0, 5.0), look_at=(0.0, 0.0, 0.0))
+    cfg_b = RenderConfig(max_depth=2, rr_bounces=0,
+                         sort_bounces=(method == "pallas"))
+
+    def render_ps(params, key):
+        diffuse, positions = params
+        s = mesh_mod.with_positions(
+            hi_scene.replace(mat_diffuse=diffuse), positions)
+        return pathtracer.render(
+            mesh_mod.mesh_hit_fn(s, method=method), lights, cam_b, cfg_b,
+            key)
+
+    params0 = (hi_scene.mat_diffuse * 0.9, hi_scene.positions * 1.001)
+    target_b = render_ps((hi_scene.mat_diffuse, hi_scene.positions),
+                         jax.random.key(3))
+    res_b, dt_b = timed_run(render_ps, params0, target_b,
+                            jax.random.key(3), 1e-3)
+    ok_b = (np.isfinite(res_b.losses).all()
+            and min(res_b.losses) <= res_b.losses[0])
+    emit(metric=f"config10b inverse-render path-space "
+                f"{hi_scene.num_triangles}tri {size_b}x{size_b} "
+                f"mat+vertex ({method})",
+         value=round(dt_b, 3), unit="s/step", vs_baseline=float(ok_b))
+
+
 ALL = {
     "1": config1_oracle_parity,
     "2": config2_spheres_diff,
@@ -470,6 +564,7 @@ ALL = {
     "7": config7_mesh_scaling,
     "8": config8_streamed_large_scene,
     "9": config9_textured_headline,
+    "10": config10_inverse_rendering,
 }
 
 if __name__ == "__main__":

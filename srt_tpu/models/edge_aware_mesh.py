@@ -226,13 +226,28 @@ def silhouette_sdf_global(scene: MeshScene, b: int, o_m, d_m, t_hit,
 
 
 def _model_exit_t(scene: MeshScene, b, o_m, d_m):
-    """Far intersection of the ray with model ``b``'s root AABB (the BVH
-    root node bounds); 0 when the ray misses the box (then the
-    continuation origin degenerates to the ray origin, but such rays
-    cannot have hit the model anyway)."""
-    root = scene.model_first_node[b]
-    lo = scene.node_min[root][:, None]
-    hi = scene.node_max[root][:, None]
+    """Far intersection of the ray with model ``b``'s root AABB; 0 when
+    the ray misses the box (then the continuation origin degenerates to
+    the ray origin, but such rays cannot have hit the model anyway).
+
+    The box is computed from the CURRENT per-corner vertex arrays (the
+    ones ``with_positions`` re-gathers), NOT the uploaded BVH root node
+    bounds: under a differentiable vertex displacement the stored node
+    bounds are stale, and a continuation origin placed just past a stale
+    box can land INSIDE the displaced model and re-hit it — a hard step
+    in what must be a continuous background estimate (found via an
+    FD-vs-grad step hunt in the r5 reflected-silhouette work; the
+    primary-visibility path had the same latent bug).  Computing the box
+    from the live vertices keeps the continuation origin moving WITH the
+    geometry, and its gradient contribution is the correct boundary-free
+    transport term."""
+    t_lo = scene.model_first_tri[b]
+    t_hi = t_lo + scene.model_tri_count[b]
+    sl = slice(int(t_lo), int(t_hi))
+    vs = jnp.concatenate(
+        [scene.tri_v0[sl], scene.tri_v1[sl], scene.tri_v2[sl]], axis=0)
+    lo = jnp.min(vs, axis=0)[:, None]
+    hi = jnp.max(vs, axis=0)[:, None]
     inv = 1.0 / d_m
     t0 = (lo - o_m) * inv
     t1 = (hi - o_m) * inv
@@ -325,6 +340,117 @@ def trace_edge_aware_mesh(scene: MeshScene, lights: Lights,
 
     blend = jnp.where(p_hit, cov, 1.0)
     radiance = bc(blend) * color_main + bc(1.0 - blend) * color_bg
+    return radiance.T.reshape(cam.height, cam.width, 3)
+
+
+def trace_edge_aware_mesh_reflection(scene: MeshScene, lights: Lights,
+                                     cam: CameraConfig,
+                                     cfg: RenderConfig, stream,
+                                     band: float = 1.0,
+                                     method: str = "dense",
+                                     search: str = "global",
+                                     rings: int = 1,
+                                     rough_thresh: float = 1e-2):
+    """One image sample with reparameterized SECONDARY (reflected) MESH
+    visibility — r4 verdict missing #1: objects seen in a MESH mirror
+    contributed zero path-space gradient at their reflected silhouette
+    (the step lives in the bounce loop's ``CheckHit``,
+    raytrace_compute.glsl:122-165, and its indirect continuation
+    :276-285 at depth 2).  This composes the sphere mirror machinery
+    (models/edge_aware.trace_edge_aware_reflection) with the mesh
+    silhouette SDF tables (``silhouette_sdf``/``silhouette_sdf_global``):
+
+    * bounce 1 runs the REAL integrator body (``bounce_step`` with
+      ``return_aux``: direct lighting, lobe selection, reflection ray);
+    * pixels whose bounce-1 lobe was SPECULAR on a near-mirror material
+      (roughness <= ``rough_thresh`` — mesh conversion gives roughness
+      1/Ns, so high-Ns materials qualify; the spec direction is then
+      deterministic to first order) get the REFLECTED winner's
+      silhouette replaced by a coverage ramp: the remaining depth is
+      traced twice from the bounce ray — as-is, and continued past the
+      reflected winning model's root-box exit — and blended by the
+      nearest-silhouette-edge distance at the reflected footprint
+      (pixel size at camera->mirror->object distance);
+    * all other pixels are bit-identical to the plain renderer.
+
+    Both continuation traces consume the SAME slot block the one-jit
+    scan would, so radiometry matches ``trace_wavefront`` away from the
+    band.  Diffuse / rough-lobe bounces remain path-space (their
+    boundary term needs edge sampling in the integrator proper —
+    ROADMAP).  Differentiable w.r.t. ``scene.positions`` of BOTH the
+    mirror (via the bounce geometry) and the reflected occluder (via
+    the silhouette SDF + hit/background radiance).
+    """
+    import dataclasses
+
+    from srt_tpu.models.pathtracer import bounce_step
+
+    if scene.tri_adj is None:
+        raise ValueError("scene has no tri_adj: re-flatten with the "
+                         "current utils/flatten.py")
+    n = cam.width * cam.height
+    vp = derive_viewport(cam)
+    jitter = stream.take(2)
+    origins, dirs = generate_rays(vp, cam.width, cam.height, jitter)
+
+    n_bounces = cfg.max_depth + cfg.rr_bounces
+    assert n_bounces >= 2, "reflected silhouettes need depth >= 2"
+    d_slots = rng_ops.bounce_slots(lights.count)
+    u_block = stream.take(n_bounces * d_slots)          # [B*D, N]
+
+    hit_fn = mesh_hit_fn(scene, method=method)
+
+    # Bounce 1 = the real integrator body (direct light, lobe, next ray).
+    init = (origins, dirs, jnp.ones((3, n), jnp.float32),
+            jnp.zeros((3, n), jnp.float32), jnp.ones((n,), bool),
+            jnp.arange(n, dtype=jnp.int32))
+    carry1, _, aux1 = bounce_step(hit_fn, lights, cfg, init, 0,
+                                  u_block[:d_slots], sort=False,
+                                  return_aux=True)
+    o2, d2, thr1, color1, alive1, _pix = carry1[:6]
+    mirror1 = aux1["take_spec"] & (aux1["rough"] <= rough_thresh)
+
+    # Remaining depth from the bounce ray: same slots, shifted cfg so
+    # Russian roulette fires at the same absolute depths.
+    cfg_rest = dataclasses.replace(cfg, max_depth=cfg.max_depth - 1)
+    rest = u_block[d_slots:]
+    l2_hit = trace_wavefront(hit_fn, lights, o2, d2,
+                             ArrayStream(rest.T), cfg_rest)
+
+    # Reflected winner + its silhouette coverage at the reflected
+    # footprint (distance measured along the unfolded path).
+    p_hit2, t_hit2, tri2, model2 = _primary_winner(
+        scene, o2, d2, cfg.t_min, method)
+    fp = band * jnp.maximum(aux1["t"] + t_hit2, 1e-3) / (
+        cam.focus_dist * min(cam.width, cam.height))
+
+    sdf = jnp.full((n,), BIG)
+    t_exit = jnp.zeros((n,))
+    for b in range(scene.num_models):
+        o_m, d_m = transform_rays(scene.frames[b], o2, d2)
+        if search == "global":
+            dlen = jnp.sqrt(jnp.maximum(vec.norm2(d_m), 1e-20))
+            t_world = t_hit2 * dlen
+            sdf_b = silhouette_sdf_global(
+                scene, b, o_m, d_m / dlen[None, :], t_world,
+                window=8.0 * fp + 1e-3)
+        else:
+            sdf_b = silhouette_sdf(scene, tri2, o_m, d_m, rings=rings)
+        ex_b = _model_exit_t(scene, b, o_m, d_m)
+        sel = model2 == b
+        sdf = jnp.where(sel, sdf_b, sdf)
+        t_exit = jnp.where(sel, ex_b, t_exit)
+
+    cov2 = jnp.clip(sdf / fp, 0.0, 1.0)
+
+    d2_hat = vec.normalize(d2)
+    o2_bg = o2 + bc(jnp.where(p_hit2, t_exit + cfg.t_min, 0.0)) * d2_hat
+    l2_bg = trace_wavefront(hit_fn, lights, o2_bg, d2,
+                            ArrayStream(rest.T), cfg_rest)
+
+    blend = jnp.where(mirror1 & alive1 & p_hit2, cov2, 1.0)
+    l2 = bc(blend) * l2_hit + bc(1.0 - blend) * l2_bg
+    radiance = color1 + jnp.where(bc(alive1), thr1 * l2, 0.0)
     return radiance.T.reshape(cam.height, cam.width, 3)
 
 

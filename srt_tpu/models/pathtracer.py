@@ -268,7 +268,8 @@ def _sky(dirs, cfg: RenderConfig):
 
 
 def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
-                carry, bounce, u, sort: bool, shadow_fn=None):
+                carry, bounce, u, sort: bool, shadow_fn=None,
+                return_aux: bool = False):
     """One path-tracing bounce on a wavefront slice — the body shared by
     the ``lax.scan`` integrator below and the width-scheduled compact
     driver (models/wavefront_compact.py), so the two cannot drift.
@@ -285,7 +286,14 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     replaces the binary occlusion test with a continuous light-visibility
     multiplier — the hook the edge-aware renderers use to make SHADOW
     boundaries differentiable (models/edge_aware.soft_shadow_fn); None
-    keeps ``CheckLightOccluded`` semantics."""
+    keeps ``CheckLightOccluded`` semantics.
+
+    ``return_aux=True`` (requires ``sort=False``: the aux stays in the
+    slice's input order) additionally returns a dict with this bounce's
+    hit record essentials and lobe decision — what the edge-aware
+    REFLECTION modules need to reparameterize the next segment's
+    visibility without re-deriving integrator internals:
+    ``{"take_spec", "rough", "hit", "t"}``."""
     if cfg.ray_cones:
         (origins, dirs, throughput, color, alive, pix, cwidth,
          cspread) = carry
@@ -440,10 +448,16 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         pix = packed[13].astype(jnp.int32)
         if cone is not None:
             cwidth, cspread = packed[14], packed[15]
-    if cone is not None:
-        return (origins, dirs, throughput, color, cont, pix, cwidth,
-                cspread), stats
-    return (origins, dirs, throughput, color, cont, pix), stats
+    out_carry = ((origins, dirs, throughput, color, cont, pix, cwidth,
+                  cspread) if cone is not None
+                 else (origins, dirs, throughput, color, cont, pix))
+    if return_aux:
+        assert not sort, "return_aux reports pre-sort order; use sort=False"
+        return out_carry, stats, {
+            "take_spec": take_spec, "rough": rec.mat.roughness,
+            "hit": rec.hit, "t": rec.t,
+        }
+    return out_carry, stats
 
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
