@@ -77,6 +77,10 @@ class MeshScene:
     atlas: Optional[jnp.ndarray] = None  # [H, W, 3] texture atlas or None
     atlas_rects: Optional[jnp.ndarray] = None  # [K, 4] (x, y, w, h) in texels
     atlas_mip_rects: Optional[jnp.ndarray] = None  # [K, L, 4] mip chain rects
+    # Quad-packed atlas [H*W, 12] (utils/atlas.build_quad_table): one
+    # packed row gather per bilinear tap instead of four 2D gathers —
+    # forward-render fast path; None when differentiating w.r.t. texels.
+    atlas_quad: Optional[jnp.ndarray] = None
     # Pallas cluster-kernel tables (ops/traversal_pallas.py); present when
     # the scene was flattened with pad_to=128.
     woop: Optional[jnp.ndarray] = None         # [13, T]
@@ -116,7 +120,8 @@ class MeshScene:
 
 
 def upload(scene: FlatScene, atlas=None, atlas_rects=None,
-           atlas_mip_rects=None, mip_lod_scale: float = 0.0) -> MeshScene:
+           atlas_mip_rects=None, mip_lod_scale: float = 0.0,
+           quad_pack: bool = True) -> MeshScene:
     """Host FlatScene -> device MeshScene (the ``glBufferData`` moment,
     gpu_loader.cpp:142-182; here a plain pytree of jnp arrays).
 
@@ -124,6 +129,17 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None,
     transform table and cluster AABBs for the Pallas kernel are built here.
     """
     import numpy as _np
+
+    # Quad-packed atlas (r5): the forward texture fast path; skip with
+    # quad_pack=False when the caller will differentiate w.r.t. texels
+    # (the quad table is a host-built copy, not a traced view).
+    atlas_quad = None
+    if quad_pack and atlas is not None and atlas_rects is not None:
+        from srt_tpu.utils.atlas import build_quad_table
+        atlas_quad = jnp.asarray(build_quad_table(
+            _np.asarray(atlas), _np.asarray(atlas_rects),
+            None if atlas_mip_rects is None
+            else _np.asarray(atlas_mip_rects)))
 
     t_total = scene.tri_v0.shape[0]
     firsts = [int(x) for x in scene.model_first_tri]
@@ -175,6 +191,7 @@ def upload(scene: FlatScene, atlas=None, atlas_rects=None,
         atlas_rects=None if atlas_rects is None else jnp.asarray(atlas_rects),
         atlas_mip_rects=(None if atlas_mip_rects is None
                          else jnp.asarray(atlas_mip_rects)),
+        atlas_quad=atlas_quad,
         mip_lod_scale=float(mip_lod_scale),
         woop=woop,
         cluster_min=cmin,
@@ -438,6 +455,7 @@ def triangle_material(scene: MeshScene, tri_idx, u, v, t=None,
         tex_rgb = sample_atlas(
             scene.atlas, scene.atlas_rects, scene.mat_tex_index[midx], uv,
             mip_rects=scene.atlas_mip_rects, lod=lod,
+            quad=scene.atlas_quad,
         )
         albedo = jnp.where(scene.mat_use_texture[midx][:, None], tex_rgb, albedo)
     rough = 1.0 / (scene.mat_specular_ex[midx] + ROUGHNESS_EPS)
@@ -501,6 +519,7 @@ def _record_material(scene: MeshScene, rec_t, u, v, t=None,
             scene.atlas, scene.atlas_rects,
             rec_t[23].astype(jnp.int32), uv.T,
             mip_rects=scene.atlas_mip_rects, lod=lod,
+            quad=scene.atlas_quad,
         ).T
         albedo = jnp.where(rec_t[22:23] > 0.5, tex_rgb, albedo)
     n = rec_t.shape[1]

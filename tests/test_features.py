@@ -476,3 +476,33 @@ def test_slotblock_rows_at_matches_full():
     # Counter advance must match take()'s.
     np.testing.assert_array_equal(np.asarray(s1.take(2)),
                                   np.asarray(s2.take(2)))
+
+
+def test_quad_packed_atlas_matches_taps():
+    """The quad-packed single-gather bilinear path (r5 texture fast path)
+    must be BIT-equal to the four-tap gather path, including repeat-wrap
+    edges and trilinear mip blending."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.ops.texture import sample_atlas
+    from srt_tpu.utils.atlas import build_quad_table, pack_atlas
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.uniform(size=(64, 64, 3)).astype(np.float32),
+            rng.uniform(size=(32, 48, 3)).astype(np.float32)]
+    atlas = pack_atlas(imgs, mip_levels=4)
+    quad = jnp.asarray(build_quad_table(atlas.image, atlas.rects,
+                                        atlas.mip_rects))
+    n = 4096
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (n, 2)).astype(np.float32))
+    ti = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    lod = jnp.asarray(rng.uniform(0, 3.5, n).astype(np.float32))
+    img = jnp.asarray(atlas.image)
+    rects = jnp.asarray(atlas.rects)
+    mips = jnp.asarray(atlas.mip_rects)
+    for kw in ({}, {"mip_rects": mips, "lod": lod}):
+        a = sample_atlas(img, rects, ti, uv, **kw)
+        b = sample_atlas(img, rects, ti, uv, quad=quad, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
