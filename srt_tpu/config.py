@@ -11,7 +11,7 @@ dataclass; the static fields are hashable so configs can be passed as
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +95,17 @@ class RenderConfig:
     # for the Pallas cluster kernel on big scenes.  Off by default: the
     # dense/CPU paths gain nothing.
     sort_bounces: bool = False
+    # Re-sort each SHADOW batch by (dead-last, picked light, origin
+    # Morton cell) before the any-hit trace, from this bounce index on
+    # (None = off).  RIS picks lights per ray, so adjacent wavefront rays
+    # aim at different lights and a per-group traversal walk pays the
+    # union of segments toward up to six lights; grouping same-light
+    # segments from nearby origins collapses that union (r5 measurement:
+    # the late shadow passes were as expensive as their closest-hit
+    # passes).  Bit-identical occlusion answers (the batch permutation is
+    # inverted before shading).  Only honored where the bounce index is
+    # static (the compacted driver); the lax.scan integrator ignores it.
+    sort_shadows_from: Optional[int] = None
     # Ray-cone footprint tracking for mip selection (the TPU analog of
     # the GL driver's derivative-driven mipmapped samplers,
     # include/asset_utils/gpu_texture.h:39-53): each path carries a cone

@@ -189,6 +189,14 @@ def make_render_plan(scene, lights: Lights, cam: CameraConfig,
     cfg = dataclasses.replace(
         cfg, sort_bounces=on_pallas and cfg.max_depth + cfg.rr_bounces > 1,
         uniform_use_spec=True)
+    if on_pallas and cfg.sort_shadows_from is None:
+        # Re-sort late shadow batches by (light, origin cell): RIS picks
+        # lights per ray, and a per-group walk otherwise pays the union
+        # footprint of segments toward up to six lights.  Measured (r5):
+        # bounce-3/4 shadow passes 43.8/27.8 -> 12.6/6.6 ms; from bounce
+        # 2 on (earlier shadow batches are beam-coherent enough that the
+        # argsort + gather overhead loses money).
+        cfg = dataclasses.replace(cfg, sort_shadows_from=2)
     n_bounces = cfg.max_depth + cfg.rr_bounces
     if key is None:
         key = jax.random.key(0)

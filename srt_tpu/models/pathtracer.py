@@ -174,6 +174,23 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
     return closest_hit
 
 
+def _part1by2(x):  # spread 5 bits with 2-bit gaps
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _morton15(pts):
+    """15-bit Morton cell code of [3, N] points within their own bounding
+    box (5 bits/axis)."""
+    lo = jnp.min(pts, axis=1, keepdims=True)
+    hi = jnp.max(pts, axis=1, keepdims=True)
+    q = jnp.clip(((pts - lo) / jnp.maximum(hi - lo, 1e-6)) * 31.0,
+                 0.0, 31.0).astype(jnp.uint32)          # [3, N] 5-bit cells
+    return (_part1by2(q[0]) << 2) | (_part1by2(q[1]) << 1) | _part1by2(q[2])
+
+
 def _bounce_sort_keys(origins, dirs, alive, bounce=None):
     """Coherence keys for re-sorting the wavefront between bounces.
 
@@ -201,18 +218,7 @@ def _bounce_sort_keys(origins, dirs, alive, bounce=None):
     being sorted; None keeps the cell-major key (legacy callers).  Pure
     value-level work: static shapes, one u32 key per ray.
     """
-    lo = jnp.min(origins, axis=1, keepdims=True)
-    hi = jnp.max(origins, axis=1, keepdims=True)
-    q = jnp.clip(((origins - lo) / jnp.maximum(hi - lo, 1e-6)) * 31.0,
-                 0.0, 31.0).astype(jnp.uint32)          # [3, N] 5-bit cells
-
-    def part1by2(x):  # spread 5 bits with 2-bit gaps
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
-
-    morton = (part1by2(q[0]) << 2) | (part1by2(q[1]) << 1) | part1by2(q[2])
+    morton = _morton15(origins)
     # 2 bits/axis of the unit direction: a ~30-degree cone per bucket —
     # sign-only octants leave 90-degree fans whose supercluster unions
     # cover most of the scene by bounce 3 (measured).
@@ -228,8 +234,8 @@ def _bounce_sort_keys(origins, dirs, alive, bounce=None):
         return key_cell
     # 3-bit/axis Morton-interleaved direction cell (~15-degree cones).
     qd3 = jnp.clip((dirs_n + 1.0) * 4.0, 0.0, 7.0).astype(jnp.uint32)
-    dm9 = ((part1by2(qd3[0]) << 2) | (part1by2(qd3[1]) << 1)
-           | part1by2(qd3[2])) & jnp.uint32(0x1FF)
+    dm9 = ((_part1by2(qd3[0]) << 2) | (_part1by2(qd3[1]) << 1)
+           | _part1by2(qd3[2])) & jnp.uint32(0x1FF)
     key_cone = (dead << 24) | (dm9 << 15) | morton
     return jnp.where(jnp.asarray(bounce) >= 1, key_cone, key_cell)
 
@@ -253,6 +259,43 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     direction = vec.normalize(delta)
     shadow = closest_hit(p, direction, t_min, dist, any_hit=True)
     return shadow.hit
+
+
+def _occluded_sorted(closest_hit: HitFn, p, light_pos, light_idx, t_min,
+                     active):
+    """``_occluded`` with a (dead-last, picked-light, origin-Morton-cell)
+    re-sort of the shadow batch before the any-hit trace.
+
+    RIS samples a light PER RAY (glsl:228-246), so adjacent rays of the
+    bounce-sorted wavefront aim at different lights; a per-group walk
+    (``pg2:G:W``) then pays the union footprint of segments toward up to
+    six lights per group.  Grouping same-light segments from nearby
+    origins collapses that union toward a single cone (r5: the bounce-3/4
+    shadow passes cost as much as their closest-hit passes without this).
+    Occlusion answers are order-independent booleans — the inverse
+    permutation restores wavefront order, image bit-identical.
+
+    (The r3 light-only stable sort was rejected at ~57 ms/frame of sort +
+    gather glue under the TILED walk, where per-ray dynamic gating left
+    little for grouping to win.  Both sides changed in r4/r5: permutes
+    are now one packed row gather (~ms), and the per-group walk's cost IS
+    the group-union footprint — so the informed retry, with origins in
+    the key, is a measured win; see ROADMAP r5.)"""
+    delta = light_pos - p
+    dist2 = vec.norm2(delta)
+    dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
+    dist = jnp.where(active, dist, 0.0)
+    direction = vec.normalize(delta)
+    key = (((~active).astype(jnp.uint32) << 19)
+           | (jnp.clip(light_idx, 0, 15).astype(jnp.uint32) << 15)
+           | _morton15(p))
+    order = jnp.argsort(key)
+    packed = jnp.concatenate([p, direction, dist[None, :]], axis=0)
+    sp = packed.T[order].T                  # one packed row gather
+    shadow = closest_hit(sp[0:3], sp[3:6], t_min, sp[6], any_hit=True)
+    inv = jnp.argsort(order)                # argsort of a permutation
+    occ = shadow.hit.astype(jnp.float32)[:, None][inv][:, 0]
+    return occ > 0.0
 
 
 def _sky(dirs, cfg: RenderConfig):
@@ -348,8 +391,13 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         ndl_pos = jnp.sum(
             rec.normal * brdf.light_dir_to(rec.p, l_pos), axis=0) > 0.0
         shadow_active = active & sampled & ndl_pos
-        occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min,
-                        active=shadow_active)
+        if (cfg.sort_shadows_from is not None and isinstance(bounce, int)
+                and bounce >= cfg.sort_shadows_from):
+            occ = _occluded_sorted(closest_hit, rec.p, l_pos, light_idx,
+                                   cfg.t_min, shadow_active)
+        else:
+            occ = _occluded(closest_hit, rec.p, l_pos, cfg.t_min,
+                            active=shadow_active)
         shadow_mult = jnp.where(occ, 0.0, 1.0)
     else:
         shadow_active = active

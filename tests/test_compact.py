@@ -173,3 +173,36 @@ def test_compact_is_differentiable():
     g_compact = float(jax.jit(jax.grad(loss_compact))(jnp.float32(0.0)))
     assert np.isfinite(g_compact)
     np.testing.assert_allclose(g_compact, g_scan, rtol=1e-4)
+
+
+def test_shadow_sort_bit_identical():
+    """cfg.sort_shadows_from re-sorts the shadow batch by (dead, light,
+    origin cell) before the any-hit trace and inverts the permutation —
+    occlusion answers are order-independent, so the image must be
+    BIT-identical (not ulp-close) to the unsorted trace, and stats must
+    agree exactly (r5; models/pathtracer._occluded_sorted)."""
+    import dataclasses
+
+    scene = mesh_mod.upload(flatten_models([procgen.uv_sphere(12, 16)],
+                                           pad_to=1))
+    lights = model_scene_lights()
+    cam = CameraConfig(width=32, height=16, origin=(0.0, 1.0, 5.0),
+                       look_at=(0.0, 0.0, 0.0))
+    hit_fn = mesh_mod.mesh_hit_fn(scene, method="dense")
+    n = cam.width * cam.height
+    key = jax.random.key(5)
+    sched = (n, n, n)
+
+    def run(cfg):
+        return jax.jit(lambda k: trace_image_compact(
+            hit_fn, lights, cam, cfg, KeyStream(k, n), sched,
+            return_stats=True))(key)
+
+    base = RenderConfig(max_depth=3, rr_bounces=0, sort_bounces=True)
+    img0, st0, _ = run(base)
+    for start in (0, 1):
+        img1, st1, _ = run(dataclasses.replace(base,
+                                               sort_shadows_from=start))
+        np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1),
+                                      err_msg=f"sort_shadows_from={start}")
+        np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
