@@ -181,6 +181,14 @@ def _part1by2(x):  # spread 5 bits with 2-bit gaps
     return x
 
 
+def _part1by1(x):  # spread 15 bits with 1-bit gaps
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
 def _morton15(pts):
     """15-bit Morton cell code of [3, N] points within their own bounding
     box (5 bits/axis)."""
@@ -204,15 +212,16 @@ def _bounce_sort_keys(origins, dirs, alive, bounce=None):
       cone) — best for the still-coherent bounce-2 wavefront (mirror-like
       reflections of the primary beam: footprints are tiny and origin
       locality dominates);
-    * ``cone-major`` (dead-last, 9-bit Morton-interleaved direction cell
-      ~15 degrees, then origin cell) — best for bounces >= 3 AND for the
-      shadow batches cast from their hits: direction divergence, not
-      origin spread, is what blows up late-bounce group footprints
-      (measured bounce 3, G=32 groups: union 47.7 clusters vs 86.6
-      cell-major; the shadow batch improves 3.23 -> 1.97 walk evals/ray
-      because direction-sorted beams also land on clustered hit points).
-      Same-pixel spp batches were measured WORSE (union 154 at G=32):
-      equal origins buy nothing once lobes diverge — see ROADMAP r5.
+    * ``6-D interleave`` (dead-last, then the bitwise interleave of a
+      15-bit direction Morton code with the 15-bit origin Morton code) —
+      best for bounces >= 3: locality in direction AND origin at every
+      scale.  Supersedes the first r5 cone-major key (9-bit direction
+      cell, then origin): cone-major was best at bounce 3 (union 47.1 vs
+      86.6 cell-major at G=32) but poor at bounce 4 (2.47 evals/ray vs
+      cell-major-with-cone 1.99); the interleave measures 2.05/2.08
+      evals/ray at bounces 3/4 — robust at both.  Same-pixel spp batches
+      were measured WORSE (union 154 at G=32): equal origins buy nothing
+      once lobes diverge — see ROADMAP r5.
 
     ``bounce`` is the (traced) bounce index whose OUTPUT wavefront is
     being sorted; None keeps the cell-major key (legacy callers).  Pure
@@ -232,12 +241,13 @@ def _bounce_sort_keys(origins, dirs, alive, bounce=None):
     key_cell = (dead << 21) | (morton << 6) | dm
     if bounce is None:
         return key_cell
-    # 3-bit/axis Morton-interleaved direction cell (~15-degree cones).
-    qd3 = jnp.clip((dirs_n + 1.0) * 4.0, 0.0, 7.0).astype(jnp.uint32)
-    dm9 = ((_part1by2(qd3[0]) << 2) | (_part1by2(qd3[1]) << 1)
-           | _part1by2(qd3[2])) & jnp.uint32(0x1FF)
-    key_cone = (dead << 24) | (dm9 << 15) | morton
-    return jnp.where(jnp.asarray(bounce) >= 1, key_cone, key_cell)
+    # 15-bit direction Morton code (5 bits/axis), bit-interleaved with
+    # the 15-bit origin code: the 6-D Morton order.
+    qd5 = jnp.clip((dirs_n + 1.0) * 16.0, 0.0, 31.0).astype(jnp.uint32)
+    dm15 = ((_part1by2(qd5[0]) << 2) | (_part1by2(qd5[1]) << 1)
+            | _part1by2(qd5[2]))
+    key_6d = (dead << 30) | (_part1by1(dm15) << 1) | _part1by1(morton)
+    return jnp.where(jnp.asarray(bounce) >= 1, key_6d, key_cell)
 
 
 def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):

@@ -94,6 +94,24 @@ def keys(o, d, alive, pix, spp):
         | morton.astype(np.uint64),
         "sampleid": dead | pix.astype(np.uint64),
     }
+    # r5 follow-ups: finer direction cells and a 6-D interleave.
+    qd4 = np.clip((dn + 1.0) * 8.0, 0, 15).astype(np.uint32)    # 4b/axis
+    dm4 = ((part1by2(qd4[:, 0]) << 2) | (part1by2(qd4[:, 1]) << 1)
+           | part1by2(qd4[:, 2])) & np.uint32(0xFFF)
+    qd5 = np.clip((dn + 1.0) * 16.0, 0, 31).astype(np.uint32)   # 5b/axis
+    dm5 = ((part1by2(qd5[:, 0]) << 2) | (part1by2(qd5[:, 1]) << 1)
+           | part1by2(qd5[:, 2]))
+    out["cone4,cell"] = dead | (dm4.astype(np.uint64) << 15) \
+        | morton.astype(np.uint64)
+    out["cone5,cell"] = dead | (dm5.astype(np.uint64) << 15) \
+        | morton.astype(np.uint64)
+    # Bitwise interleave of the 15-bit direction code and the 15-bit
+    # origin code (6-D Morton): locality in both at every scale.
+    inter = np.zeros(dn.shape[0], np.uint64)
+    for i in range(15):
+        inter |= (((dm5 >> i) & 1).astype(np.uint64) << (2 * i + 1))
+        inter |= (((morton >> i) & 1).astype(np.uint64) << (2 * i))
+    out["interleave6d"] = dead | inter
     if spp > 1:
         out["pixel,cone2"] = dead | (
             (pix // spp).astype(np.uint64) << 6) | dm.astype(np.uint64)
