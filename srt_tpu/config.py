@@ -106,6 +106,15 @@ class RenderConfig:
     # inverted before shading).  Only honored where the bounce index is
     # static (the compacted driver); the lax.scan integrator ignores it.
     sort_shadows_from: Optional[int] = None
+    # Next-event estimation toward emissive (Ke) triangles, combined
+    # with BSDF sampling by the one-sample balance heuristic (r5; the
+    # reference parses Ke but never lights with it).  Requires an
+    # ``emitters`` table (models/emitters.py) passed to the trace; adds
+    # 3 RNG slots per bounce and one extra shadow query per active hit.
+    # Same expected image as hit-only emission, far lower variance on
+    # small emitters (tests/test_nee.py).  Off by default: bit-exact
+    # legacy behavior and oracle parity.
+    nee: bool = False
     # Ray-cone footprint tracking for mip selection (the TPU analog of
     # the GL driver's derivative-driven mipmapped samplers,
     # include/asset_utils/gpu_texture.h:39-53): each path carries a cone

@@ -211,9 +211,15 @@ def make_render_plan(scene, lights: Lights, cam: CameraConfig,
     else:
         hit_fns = build_hit_fns(scene, None, None, method=method)
 
+    emitters = None
+    if cfg.nee:
+        from srt_tpu.models.emitters import scene_emitters
+        emitters = scene_emitters(scene)
+
     n = cam.width * cam.height * cfg.spp
-    schedule = discover_schedule(hit_fns, lights, cam, cfg, key)
+    schedule = discover_schedule(hit_fns, lights, cam, cfg, key,
+                                 emitters=emitters)
     fn = jax.jit(lambda k: trace_image_compact(
         hit_fns, lights, cam, cfg, KeyStream(k, n), schedule,
-        return_stats=True))
+        return_stats=True, emitters=emitters))
     return RenderPlan(cam=cam, cfg=cfg, schedule=schedule, _fn=fn)

@@ -711,7 +711,8 @@ def mesh_hit_fn(scene: MeshScene, method: str = "dense",
         # reference parses but never uses (model_loader.cpp:240-273).
         emitted = jnp.where(hit[None, :], rec_t[24:27], 0.0)
         return Hit(hit=hit, t=best_t, p=p, normal=normal, mat=mat,
-                   emitted=emitted)
+                   emitted=emitted,
+                   tri=jnp.where(hit, idx, -1).astype(jnp.int32))
 
     if ray_tile <= 0:
         return hit_tile

@@ -43,6 +43,12 @@ from srt_tpu.ops.gather import take_small_t
 from srt_tpu.ops.rng import ArrayStream, KeyStream
 from srt_tpu.ops.vec import bc
 from srt_tpu.scene import Lights, Materials, Spheres
+from srt_tpu.models import emitters as emitters_mod
+
+# MIS sentinel: "this direction was not density-sampled" (primary rays,
+# delta-specular bounces).  Large against any real area pdf (<= ~1e12 at
+# scene scales) yet far from f32 overflow in prev_pdf + pdf_nee.
+_NO_MIS_PDF = 1e30
 
 
 @chex.dataclass(frozen=True)
@@ -59,6 +65,10 @@ class Hit:
     # scene has no emission concept (spheres, stubs) — the integrator
     # credits throughput * emitted on hit when present.
     emitted: jnp.ndarray = None
+    # Optional global triangle index of the winner ([N] int32, -1 miss;
+    # mesh path only) — the hit-side NEE/MIS weight keys its area-pdf
+    # lookup on this (r5, cfg.nee).
+    tri: jnp.ndarray = None
 
 
 HitFn = Callable[[jnp.ndarray, jnp.ndarray, float, jnp.ndarray], Hit]
@@ -161,6 +171,15 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
                 e_old = best.emitted if best.emitted is not None \
                     else jnp.zeros_like(rec.emitted)
                 emitted = sel(e_new, e_old)
+            # Triangle ids: a branch without the concept contributes -1
+            # (its hits carry no NEE area pdf — sphere emitters do not
+            # exist, so the MIS weight correctly degenerates to 1).
+            if rec.tri is None and best.tri is None:
+                tri = None
+            else:
+                miss = jnp.full(best.hit.shape, -1, jnp.int32)
+                tri = sel(rec.tri if rec.tri is not None else miss,
+                          best.tri if best.tri is not None else miss)
             best = Hit(
                 hit=best.hit | rec.hit,
                 t=jnp.where(closer, rec.t, best.t),
@@ -168,6 +187,7 @@ def union_hit_fn(*hit_fns: HitFn) -> HitFn:
                 normal=sel(rec.normal, best.normal),
                 mat=jax.tree_util.tree_map(sel, rec.mat, best.mat),
                 emitted=emitted,
+                tri=tri,
             )
         return best
 
@@ -256,11 +276,9 @@ def _occluded(closest_hit: HitFn, p, light_pos, t_min, active=None):
     ``active`` masks dead lanes with t_max = 0 so compaction-aware
     intersectors (the Pallas kernel) skip them entirely.
 
-    (Tried and rejected, r3: stable-sorting the shadow batch by picked
-    light index before the any-hit call — the kernel barely sped up (the
-    cost is unoccluded rays proving a no-hit over their whole segment,
-    which no grouping shortens) while the extra argsort + gathers cost
-    ~57 ms/frame on the 1024x1024 headline scene.)"""
+    See ``_occluded_sorted`` for the batch-re-sorted variant used on
+    late bounces (an r3 rejection overturned in r5 — history in its
+    docstring)."""
     delta = light_pos - p
     dist2 = vec.norm2(delta)
     dist = jnp.sqrt(jnp.where(dist2 > 0.0, dist2, 1.0))
@@ -322,7 +340,7 @@ def _sky(dirs, cfg: RenderConfig):
 
 def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
                 carry, bounce, u, sort: bool, shadow_fn=None,
-                return_aux: bool = False):
+                return_aux: bool = False, emitters=None):
     """One path-tracing bounce on a wavefront slice — the body shared by
     the ``lax.scan`` integrator below and the width-scheduled compact
     driver (models/wavefront_compact.py), so the two cannot drift.
@@ -346,14 +364,24 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     hit record essentials and lobe decision — what the edge-aware
     REFLECTION modules need to reparameterize the next segment's
     visibility without re-deriving integrator internals:
-    ``{"take_spec", "rough", "hit", "t"}``."""
+    ``{"take_spec", "rough", "hit", "t"}``.
+
+    ``emitters`` + ``cfg.nee`` (r5): next-event estimation toward
+    emissive triangles (models/emitters.py), combined with BSDF sampling
+    by the one-sample balance heuristic.  The carry gains a trailing
+    ``prev_pdf`` [N] channel (the mixture pdf of the direction that led
+    here; ``_NO_MIS_PDF`` for primaries and delta-specular bounces) and
+    each bounce consumes 3 extra tail slots (ops/rng.bounce_slots)."""
+    nee_on = emitters is not None and cfg.nee
+    fields = list(carry)
+    origins, dirs, throughput, color, alive, pix = fields[:6]
+    k = 6
+    cone = None
     if cfg.ray_cones:
-        (origins, dirs, throughput, color, alive, pix, cwidth,
-         cspread) = carry
+        cwidth, cspread = fields[k], fields[k + 1]
         cone = (cwidth, cspread)
-    else:
-        origins, dirs, throughput, color, alive, pix = carry
-        cone = None
+        k += 2
+    prev_pdf = fields[k] if nee_on else None
     num_lights = lights.count
     takes_cone = cone is not None and _supports_kw(closest_hit, "cone")
     # Dead lanes trace with t_max = 0: compaction-aware intersectors
@@ -366,9 +394,22 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
 
     # Emissive surfaces contribute directly (mesh Ke materials; the
     # reference parses Ke but never shades it, model_loader.cpp:240).
+    # With NEE the hit-side credit carries the balance-heuristic MIS
+    # weight prev_pdf / (prev_pdf + pdf_nee(hit)): primaries and
+    # delta-specular bounces arrive with prev_pdf = _NO_MIS_PDF -> w ~ 1,
+    # and non-emitter hits have tri_pdfa = 0 -> w = 1 exactly.
     if rec.emitted is not None:
-        color = color + jnp.where(bc(active), throughput * rec.emitted,
-                                  0.0)
+        credit = throughput * rec.emitted
+        if nee_on and rec.tri is not None:
+            pdfa_hit = emitters.tri_pdfa[jnp.maximum(rec.tri, 0)]
+            cos_hit = jnp.abs(jnp.sum(rec.normal * dirs, axis=0))
+            # t guarded to keep inf*0 NaNs out of unselected where
+            # branches (they poison reverse-mode gradients).
+            t_h = jnp.where(active, rec.t, 1.0)
+            pdf_nee_hit = pdfa_hit * t_h * t_h \
+                / jnp.maximum(cos_hit, 1e-6)
+            credit = credit * bc(prev_pdf / (prev_pdf + pdf_nee_hit))
+        color = color + jnp.where(bc(active), credit, 0.0)
 
     # Paths that miss exit with sky * throughput
     # (raytrace_compute.glsl:287-292).
@@ -435,6 +476,39 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     add = active & sampled
     color = color + jnp.where(bc(add), throughput * direct, 0.0)
 
+    # --- NEE toward emissive triangles (r5, cfg.nee; no reference
+    # analog — Ke is parsed but never lit, model_loader.cpp:240-273) ---
+    if nee_on:
+        u_nee = u[2 * num_lights + 6:2 * num_lights + 9]
+        x_l, n_l, le_s, pdf_a = emitters_mod.sample_emitters(
+            emitters, u_nee[0], u_nee[1], u_nee[2])
+        delta_l = x_l - rec.p
+        d2 = jnp.maximum(vec.norm2(delta_l), 1e-12)
+        dist = jnp.sqrt(d2)
+        wi = delta_l / bc(dist)
+        cos_l = jnp.abs(jnp.sum(n_l * wi, axis=0))       # two-sided Ke
+        front = jnp.sum(rec.normal * wi, axis=0) > 0.0
+        pdf_nee = pdf_a * d2 / jnp.maximum(cos_l, 1e-6)
+        # Same per-bounce GGX half-vector draw as sample_indirect below:
+        # the diffuse lobe's implied Fresnel then matches the BSDF-side
+        # estimator exactly (see brdf.eval_lobes_pdf).
+        u4 = u[2 * num_lights + 2:2 * num_lights + 6]
+        h_rand = brdf.sample_ggx_half_vector(
+            rec.normal, rec.mat.roughness, u4[2], u4[3])
+        fcos, pdf_mix_l = brdf.eval_lobes_pdf(
+            rec.normal, view, wi, rec.mat, h_diffuse=h_rand)
+        nee_active = active & front & (cos_l > 1e-6)
+        # Shadow segment shrunk off the emitter surface so the sampled
+        # triangle itself does not occlude its own sample.
+        occ_nee = _occluded(closest_hit, rec.p,
+                            rec.p + delta_l * 0.999, cfg.t_min,
+                            active=nee_active)
+        vis = nee_active & ~occ_nee
+        # Balance heuristic folded: w_nee / pdf_nee = 1/(pdf_nee+pdf_mix).
+        contrib = le_s * fcos * bc(1.0 / jnp.maximum(
+            pdf_nee + pdf_mix_l, 1e-12))
+        color = color + jnp.where(bc(vis), throughput * contrib, 0.0)
+
     # --- BRDF lobe selection (glsl:248-264) ---
     u_lobe = u[2 * num_lights]
     forced_spec = (rec.mat.metalness == 1.0) & (rec.mat.roughness == 0.0)
@@ -483,6 +557,14 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     throughput = jnp.where(bc(cont), throughput * weight, throughput)
     origins = jnp.where(bc(cont), rec.p, origins)
     dirs = jnp.where(bc(cont), new_dir, dirs)
+    if nee_on:
+        # Mixture pdf of the direction just sampled — the NEXT bounce's
+        # hit-side MIS weight.  Delta-specular choices (roughness 0:
+        # perfect-mirror fast path) carry the sentinel (weight -> 1).
+        _, pdf_next = brdf.eval_lobes_pdf(rec.normal, view, new_dir,
+                                          rec.mat, h_diffuse=h_rand)
+        delta_choice = take_spec & (rec.mat.roughness == 0.0)
+        prev_pdf = jnp.where(cont & ~delta_choice, pdf_next, _NO_MIS_PDF)
     if cone is not None:
         # Ray-cone update: the footprint grows along the segment, the
         # spread widens by the sampled lobe (specular by roughness,
@@ -505,7 +587,10 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
     # belongs: in the frame time.  (Padding lanes are still never
     # counted.)  Mask measured r5: 13% of headline shadow queries, -11%
     # frame time, image bit-identical.
-    stats = jnp.stack([jnp.sum(alive), jnp.sum(active)])
+    shadow_queries = jnp.sum(active)
+    if nee_on:
+        shadow_queries = shadow_queries + jnp.sum(nee_active)
+    stats = jnp.stack([jnp.sum(alive), shadow_queries])
     if sort:
         # Re-pack the wavefront for the next bounce (see
         # _bounce_sort_keys); one stable u32 argsort per bounce.
@@ -516,6 +601,8 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         order = jnp.argsort(
             _bounce_sort_keys(origins, dirs, cont, bounce), stable=True)
         extra = [] if cone is None else [cwidth[None], cspread[None]]
+        if nee_on:
+            extra = extra + [prev_pdf[None]]
         packed = jnp.concatenate([
             origins, dirs, throughput, color,
             cont[None].astype(jnp.float32),
@@ -526,11 +613,17 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
         throughput, color = packed[6:9], packed[9:12]
         cont = packed[12] > 0.5
         pix = packed[13].astype(jnp.int32)
+        kk = 14
         if cone is not None:
-            cwidth, cspread = packed[14], packed[15]
-    out_carry = ((origins, dirs, throughput, color, cont, pix, cwidth,
-                  cspread) if cone is not None
-                 else (origins, dirs, throughput, color, cont, pix))
+            cwidth, cspread = packed[kk], packed[kk + 1]
+            kk += 2
+        if nee_on:
+            prev_pdf = packed[kk]
+    out_carry = (origins, dirs, throughput, color, cont, pix)
+    if cone is not None:
+        out_carry = out_carry + (cwidth, cspread)
+    if nee_on:
+        out_carry = out_carry + (prev_pdf,)
     if return_aux:
         assert not sort, "return_aux reports pre-sort order; use sort=False"
         return out_carry, stats, {
@@ -542,7 +635,7 @@ def bounce_step(closest_hit: HitFn, lights: Lights, cfg: RenderConfig,
 
 def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
                     stream, cfg: RenderConfig, return_stats: bool = False,
-                    shadow_fn=None):
+                    shadow_fn=None, emitters=None):
     """Trace an ``[3, N]`` ray batch to radiance ``[3, N]``.
 
     ``stream`` is a KeyStream/ArrayStream; slots are consumed in the
@@ -558,7 +651,9 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     n = origins.shape[1]
     num_lights = lights.count
     n_bounces = cfg.max_depth + cfg.rr_bounces
-    d_slots = 2 * num_lights + 6
+    nee_on = emitters is not None and cfg.nee
+    from srt_tpu.ops.rng import bounce_slots
+    d_slots = bounce_slots(num_lights, nee_on)
 
     # [B*D, N] drawn in slot order -> [B, D, N] per-bounce blocks (the
     # slot-major stream layout makes this reshape free).
@@ -575,7 +670,8 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
             # Row-major gather (see the note in bounce_step).
             u = u.T[carry[5]].T
         return bounce_step(closest_hit, lights, cfg, carry, bounce, u,
-                           sort=cfg.sort_bounces, shadow_fn=shadow_fn)
+                           sort=cfg.sort_bounces, shadow_fn=shadow_fn,
+                           emitters=emitters)
 
     init = (
         origins,
@@ -588,6 +684,10 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
     if cfg.ray_cones:
         init = init + (jnp.zeros((n,), jnp.float32),
                        jnp.full((n,), cfg.primary_spread, jnp.float32))
+    if nee_on:
+        # Primary rays carry the no-MIS sentinel: emitters seen directly
+        # keep full credit.
+        init = init + (jnp.full((n,), _NO_MIS_PDF, jnp.float32),)
     out_carry, stats = jax.lax.scan(
         bounce_body, init, (jnp.arange(n_bounces), u_bounce)
     )

@@ -61,7 +61,8 @@ GRANULE = 4096
 
 def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
                   cfg: RenderConfig, schedule: Sequence[int],
-                  pix_init=None, return_stats: bool = False):
+                  pix_init=None, return_stats: bool = False,
+                  emitters=None):
     """Jittable compacted wavefront trace.
 
     ``schedule``: static per-bounce widths, ``len == max_depth +
@@ -105,7 +106,9 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     assert schedule[0] == n, "schedule[0] must cover every primary ray"
     assert all(a >= b for a, b in zip(schedule, schedule[1:])), \
         "schedule must be non-increasing (slices can only shrink)"
-    d_slots = 2 * lights.count + 6
+    nee_on = emitters is not None and cfg.nee
+    from srt_tpu.ops.rng import bounce_slots
+    d_slots = bounce_slots(lights.count, nee_on)
     # Uniform slots: either one materialized take() + per-bounce row
     # gather, or gather-free per-bounce threefry evaluation at the live
     # sample ids (SlotBlock.rows_at; bit-identical, tested).  A/B'd on
@@ -135,6 +138,10 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
     if cfg.ray_cones:
         carry = carry + (jnp.zeros((n,), jnp.float32),
                          jnp.full((n,), cfg.primary_spread, jnp.float32))
+    if nee_on:
+        # No-MIS sentinel for primary rays (pathtracer._NO_MIS_PDF).
+        carry = carry + (jnp.full((n,), pathtracer._NO_MIS_PDF,
+                                  jnp.float32),)
     overflow = jnp.int32(0)
     stats = []
 
@@ -153,7 +160,8 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
         else:
             u = u_blk.rows_at(b * d_slots, (b + 1) * d_slots, carry[5])
         carry, st = pathtracer.bounce_step(
-            hit_fns[b], lights, cfg, carry, b, u, sort=True)
+            hit_fns[b], lights, cfg, carry, b, u, sort=True,
+            emitters=emitters)
         stats.append(st)
         if b + 1 < n_bounces:
             n_alive = jnp.sum(carry[4], dtype=jnp.int32)
@@ -181,7 +189,7 @@ def trace_compact(closest_hit, lights: Lights, origins, dirs, stream,
 def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
                         cfg: RenderConfig, stream,
                         schedule: Sequence[int], origin=None, look_at=None,
-                        return_stats: bool = False):
+                        return_stats: bool = False, emitters=None):
     """One full image via the compacted trace; linear [H, W, 3].
     Jittable with ``schedule`` static (see ``trace_compact``).
 
@@ -225,7 +233,7 @@ def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
         pix_init = perm
     out = trace_compact(closest_hit, lights, origins, dirs, stream, cfg,
                         schedule, pix_init=pix_init,
-                        return_stats=return_stats)
+                        return_stats=return_stats, emitters=emitters)
     radiance = out[0] if return_stats else out
     if k > 1:
         # Sample-id rows -> per-pixel K-sample mean.
@@ -239,7 +247,7 @@ def trace_image_compact(closest_hit, lights: Lights, cam: CameraConfig,
 def discover_schedule(closest_hit, lights: Lights, cam: CameraConfig,
                       cfg: RenderConfig, key, margin: float = 1.25,
                       min_width: int = GRANULE,
-                      granule: int = GRANULE) -> tuple:
+                      granule: int = GRANULE, emitters=None) -> tuple:
     """Measure one probe frame's per-bounce alive counts and round them
     into a width schedule with a safety ``margin``.
 
@@ -254,7 +262,7 @@ def discover_schedule(closest_hit, lights: Lights, cam: CameraConfig,
     full = tuple([n] * (cfg.max_depth + cfg.rr_bounces))
     probe = jax.jit(lambda k: trace_image_compact(
         closest_hit, lights, cam, cfg, KeyStream(k, n), full,
-        return_stats=True))
+        return_stats=True, emitters=emitters))
     _, stats, _ = probe(key)
     counts = np.asarray(stats)[:, 0]          # rays entering each bounce
     sched = [n]

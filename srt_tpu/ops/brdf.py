@@ -357,6 +357,64 @@ def sample_indirect(p, normal, view_dir, mat: Materials, take_specular,
     return direction, weight, valid
 
 
+def eval_lobes_pdf(normal, view_dir, direction, mat: Materials,
+                   h_diffuse=None):
+    """Implied-BRDF integrand + one-sample-mixture pdf of
+    ``sample_indirect`` at an arbitrary ``direction`` (r5 NEE/MIS; a
+    capability the reference lacks — it parses Ke but never lights with
+    it, model_loader.cpp:240-273).
+
+    Returns ``(fcos [3, N], pdf_mix [N])``:
+
+    * ``fcos`` is the radiance-transport integrand the indirect
+      estimator *implies* — per-lobe ``weight(direction) *
+      pdf_lobe(direction)`` summed over lobes, with the lobe weights
+      exactly ``sample_indirect``'s — so next-event estimation and BSDF
+      sampling estimate the SAME integral and their MIS combination is
+      consistent.
+    * ``pdf_mix`` is the marginal solid-angle density of the
+      specular-probability lobe mixture (``brdf_probability``), for
+      balance-heuristic MIS weights.
+
+    ``h_diffuse``: the GGX half-vector sample whose Fresnel the diffuse
+    lobe weight uses (``sample_indirect`` draws one per bounce); pass
+    the SAME sample for an exact estimator match — any
+    distribution-identical sample keeps the combination unbiased in
+    expectation.  The roughness-0 specular lobe is a delta: its pdf and
+    fcos contributions are 0 here (an area sample cannot hit a delta;
+    the hit-side MIS weight covers it via the BIG-pdf sentinel in
+    models/pathtracer.bounce_step)."""
+    p_spec = brdf_probability(mat, view_dir, normal)
+    n_dot_l = saturate(dot(normal, direction))
+    pdf_diff = n_dot_l / PI
+
+    h = vec.normalize(view_dir + direction, fallback=normal)
+    n_dot_h = saturate(dot(normal, h))
+    v_dot_h = jnp.clip(dot(view_dir, h), 1e-5, 1.0)
+    # The sampler's NDF parameter is roughness^2 (= BrdfData.alpha;
+    # sample_ggx_half_vector, brdf.glsl:81-99) — NOT alpha_squared.
+    data = brdf_data(normal, direction, view_dir, mat)
+    nd = ggx_ndf(n_dot_h, data.alpha)
+    live_spec = data.alpha > 0.0
+    pdf_spec = jnp.where(live_spec, nd * n_dot_h / (4.0 * v_dot_h), 0.0)
+
+    f0 = data.specular_f0
+    h_dot_l = jnp.clip(dot(h, direction), 1e-5, 1.0)
+    w_spec = fresnel_schlick(f0, shadowed_f90(f0), h_dot_l) * bc(
+        specular_sample_weight(
+            data.alpha_squared, jnp.clip(dot(normal, direction), 1e-5, 1.0))
+    )
+    if h_diffuse is None:
+        h_diffuse = h
+    vdh_d = jnp.clip(dot(view_dir, h_diffuse), 1e-5, 1.0)
+    w_diff = data.diffuse_reflectance * (
+        1.0 - fresnel_schlick(f0, shadowed_f90(f0), vdh_d))
+
+    fcos = w_spec * bc(pdf_spec) + w_diff * bc(pdf_diff)
+    pdf_mix = p_spec * pdf_spec + (1.0 - p_spec) * pdf_diff
+    return fcos, pdf_mix
+
+
 def sample_lights_ris(p, lights: Lights, u_idx, u_sel):
     """Resampled importance sampling over point lights (``SampleLights``,
     raytrace_compute.glsl:179-206).

@@ -20,7 +20,9 @@ ray axis minor so each slot row is lane-dense on the VPU (see ops/vec.py).
 The slot protocol per path-tracing bounce (see models/pathtracer.py):
 ``[ris_idx x L | ris_sel x L | lobe | rr | diff_r1 | diff_r2 | h_r1 | h_r2]``
 so a bounce consumes ``2*L + 6`` slots; pixel jitter (2 slots) is drawn
-before the bounce loop.
+before the bounce loop.  With NEE enabled (``cfg.nee``; r5) each bounce
+appends ``[nee_pick | nee_u1 | nee_u2]`` — strictly AFTER the base block,
+so the base protocol and the numpy oracle are untouched when NEE is off.
 """
 
 from __future__ import annotations
@@ -30,14 +32,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bounce_slots(n_lights: int) -> int:
-    """Uniform slots consumed per bounce for a scene with n_lights lights."""
-    return 2 * n_lights + 6
+def bounce_slots(n_lights: int, nee: bool = False) -> int:
+    """Uniform slots consumed per bounce for a scene with n_lights
+    lights.  ``nee=True`` appends 3 slots (emitter pick + 2 area
+    coordinates) AFTER the base block, so the base protocol (and oracle
+    parity) is unchanged when NEE is off."""
+    return 2 * n_lights + 6 + (3 if nee else 0)
 
 
-def total_slots(n_lights: int, n_bounces: int) -> int:
+def total_slots(n_lights: int, n_bounces: int, nee: bool = False) -> int:
     """Total slots per path: pixel jitter + all bounces."""
-    return 2 + n_bounces * bounce_slots(n_lights)
+    return 2 + n_bounces * bounce_slots(n_lights, nee)
 
 
 class SlotBlock:
