@@ -36,14 +36,26 @@ class RenderSession:
     def __init__(self, closest_hit: HitFn, lights, cam: CameraConfig,
                  cfg: Optional[RenderConfig] = None, seed: int = 0,
                  show_model: bool = False, validate_every: int = 0,
-                 log_fn=None):
+                 log_fn=None, scene=None, fast: bool = False):
         """``validate_every > 0`` runs the render-state validator every N
         frames and self-heals corrupted accumulation texels
         (utils/validate.py — the ``ValidateRenderState`` analog,
         src/main.cpp:358-379).  ``log_fn(metrics_dict)`` receives the
         structured per-frame metrics (frame index, wall ms, accumulation
         depth, healed texels) — the frame-time print of main.cpp:616-620
-        grown into machine-readable telemetry."""
+        grown into machine-readable telemetry.
+
+        ``fast=True`` (requires ``scene``, a MeshScene): per-frame
+        tracing goes through the library fast path — the measured
+        per-bounce walk schedule + width-compacted driver
+        (models/fastpath.py) — instead of the uniform-strategy scan,
+        with camera pose still a traced argument so movement never
+        recompiles.  The compaction width schedule is probed at the
+        initial pose with extra margin; a frame that overflows it (the
+        camera moved somewhere with more live paths) is retraced at
+        full width and the schedule is permanently widened — frames are
+        never silently wrong (models/wavefront_compact.py overflow
+        contract)."""
         self.cfg = dataclasses.replace(cfg or RenderConfig(), spp=1)
         self.cam_cfg = cam
         self.camera = FPSCamera(position=tuple(cam.origin))
@@ -60,15 +72,71 @@ class RenderSession:
         }
 
         n = cam.height * cam.width
+        self._fast = bool(fast)
+        # Jitted with the frame count TRACED: eager accumulate on the
+        # axon TPU backend recompiled its tiny graph for every new count
+        # (~200 ms/frame of remote compiles — measured as the session's
+        # frame-rate floor, r5).
+        self._accum_fn = jax.jit(
+            lambda accum, sample, count: tonemap.accumulate(
+                accum, sample, count))
 
-        def render_one(key, origin, look_at):
-            stream = KeyStream(key, n)
-            return trace_image_sample(
-                closest_hit, lights, cam, self.cfg, stream,
-                origin=origin, look_at=look_at,
-            )
+        if fast:
+            assert scene is not None, "fast=True needs the MeshScene"
+            from srt_tpu.models.fastpath import build_hit_fns, default_walks
+            from srt_tpu.models.wavefront_compact import (
+                discover_schedule, trace_image_compact)
+            method = "pallas" if jax.default_backend() == "tpu" else "dense"
+            from srt_tpu.ops.traversal_pallas import SUPER
+            n_supers = ((scene.woop.shape[0] + SUPER - 1) // SUPER
+                        if scene.woop is not None else 1)
+            if n_supers <= 8:
+                # Small scenes: the scan integrator beats the compacted
+                # driver (see models/fastpath.make_render_plan) — fall
+                # back to the classic path with the pallas hit fn.
+                from srt_tpu.models import mesh as mesh_mod
+                closest_hit = mesh_mod.mesh_hit_fn(scene, method=method)
+                fast = False
+                self._fast = False
+        if fast:
+            n_b = self.cfg.max_depth + self.cfg.rr_bounces
+            fcfg = dataclasses.replace(
+                self.cfg, sort_bounces=method == "pallas" and n_b > 1,
+                uniform_use_spec=True)
+            if method == "pallas" and fcfg.sort_shadows_from is None:
+                fcfg = dataclasses.replace(fcfg, sort_shadows_from=2)
+            if method == "pallas":
+                dw, dws = default_walks(scene, n_b)
+                hit_fns = build_hit_fns(scene, dw, dws, method=method)
+            else:
+                hit_fns = build_hit_fns(scene, None, None, method=method)
+            self._fast_cfg = fcfg
+            # Extra margin over the plan default: the schedule must
+            # survive camera motion, not just RNG jitter.
+            self._schedule = discover_schedule(
+                hit_fns, lights, cam, fcfg, self._key, margin=1.6)
 
-        self._render_one = jax.jit(render_one)
+            def render_fast(key, origin, look_at, schedule):
+                img, _, ovf = trace_image_compact(
+                    hit_fns, lights, cam, fcfg, KeyStream(key, n),
+                    schedule, origin=origin, look_at=look_at,
+                    return_stats=True)
+                return img, ovf
+
+            import functools
+            self._render_fast = jax.jit(
+                functools.partial(render_fast),
+                static_argnames=("schedule",))
+        else:
+
+            def render_one(key, origin, look_at):
+                stream = KeyStream(key, n)
+                return trace_image_sample(
+                    closest_hit, lights, cam, self.cfg, stream,
+                    origin=origin, look_at=look_at,
+                )
+
+            self._render_one = jax.jit(render_one)
 
     # -- camera verbs (InputHandler analog) --------------------------------
 
@@ -94,9 +162,16 @@ class RenderSession:
 
     # -- frame loop --------------------------------------------------------
 
-    def step(self) -> np.ndarray:
+    def step(self, fetch: bool = True) -> np.ndarray:
         """Trace one 1-spp frame, accumulate, return the sRGB display image
-        (uint8-ready float [H, W, 3])."""
+        (uint8-ready float [H, W, 3]).
+
+        ``fetch=False`` keeps the display on DEVICE (blocked until
+        ready) and skips the host copy — the analog of the reference's
+        on-GPU blit (the display texture never leaves the GPU,
+        src/main.cpp:600-769); over the axon tunnel the 1024^2 host
+        fetch costs more than the render.  Fetch explicitly (or call
+        with fetch=True) only when the host actually needs pixels."""
         import time
 
         t0 = time.perf_counter()
@@ -104,9 +179,25 @@ class RenderSession:
         self._frame_index += 1
         origin = jnp.asarray(self.camera.position, jnp.float32)
         look_at = jnp.asarray(self.camera.look_at(), jnp.float32)
-        sample = self._render_one(key, origin, look_at)
-        self._accum, display = tonemap.accumulate(
-            self._accum, sample, self.frames_accumulated
+        if self._fast:
+            sample, ovf = self._render_fast(key, origin, look_at,
+                                            self._schedule)
+            if int(ovf) != 0:
+                # The pose outgrew the probed width schedule: retrace
+                # this frame at full width (always sufficient) and keep
+                # the widened schedule — one recompile, never a wrong
+                # frame.
+                n = self.cam_cfg.height * self.cam_cfg.width
+                n_b = (self._fast_cfg.max_depth
+                       + self._fast_cfg.rr_bounces)
+                self._schedule = (n * self._fast_cfg.spp,) * n_b
+                sample, ovf = self._render_fast(key, origin, look_at,
+                                                self._schedule)
+                assert int(ovf) == 0
+        else:
+            sample = self._render_one(key, origin, look_at)
+        self._accum, display = self._accum_fn(
+            self._accum, sample, jnp.int32(self.frames_accumulated)
         )
         self.frames_accumulated += 1
 
@@ -119,7 +210,10 @@ class RenderSession:
                 self._accum, healed = heal_accumulation(self._accum)
                 self.metrics["healed_texels"] += healed
 
-        display = np.asarray(display)
+        if fetch:
+            display = np.asarray(display)
+        else:
+            display = jax.block_until_ready(display)
         dt_ms = (time.perf_counter() - t0) * 1e3
         m = self.metrics
         m["frames"] += 1

@@ -217,6 +217,32 @@ def make_render_plan(scene, lights: Lights, cam: CameraConfig,
         emitters = scene_emitters(scene)
 
     n = cam.width * cam.height * cfg.spp
+    from srt_tpu.ops.traversal_pallas import SUPER
+    n_supers = ((scene.woop.shape[0] + SUPER - 1) // SUPER
+                if scene.woop is not None else 1)
+    if on_pallas and n_supers <= 8 and cfg.spp == 1 and emitters is None:
+        # Small scenes: the compacted unrolled driver measured 3.3x
+        # SLOWER than the lax.scan integrator on this backend (Rubik
+        # 1024x800: 580 vs 174 ms — the unrolled per-width program
+        # fragments into hundreds of small fusions whose fixed costs
+        # dominate when the traversal itself is cheap).  The scan body
+        # compiles once and reuses; schedule is trivially full-width.
+        import jax.numpy as jnp
+
+        from srt_tpu.models.pathtracer import trace_image_sample
+        scfg = dataclasses.replace(cfg, sort_bounces=False)
+        hit_one = hit_fns[0] if isinstance(hit_fns, list) else hit_fns
+
+        def scan_frame(k):
+            img, stats = trace_image_sample(
+                hit_one, lights, cam, scfg, KeyStream(k, n),
+                return_stats=True)
+            return img, stats, jnp.int32(0)
+
+        fn = jax.jit(scan_frame)
+        schedule = (n,) * n_bounces
+        return RenderPlan(cam=cam, cfg=scfg, schedule=schedule, _fn=fn)
+
     schedule = discover_schedule(hit_fns, lights, cam, cfg, key,
                                  emitters=emitters)
     fn = jax.jit(lambda k: trace_image_compact(

@@ -705,9 +705,11 @@ def trace_wavefront(closest_hit: HitFn, lights: Lights, origins, dirs,
 
 def trace_image_sample(closest_hit: HitFn, lights: Lights,
                        cam: CameraConfig, cfg: RenderConfig, stream,
-                       origin=None, look_at=None) -> jnp.ndarray:
+                       origin=None, look_at=None,
+                       return_stats: bool = False) -> jnp.ndarray:
     """One full-image sample: jittered primary rays + wavefront trace.
-    Returns linear radiance [H, W, 3]."""
+    Returns linear radiance [H, W, 3] (+ the [B, 2] ray stats with
+    ``return_stats``)."""
     if cfg.ray_cones and cfg.primary_spread == 0.0:
         # One-pixel footprint per unit t at the reference viewport
         # (1x1 at focus_dist; camera.derive_viewport).
@@ -721,6 +723,7 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
     # base slot protocol unchanged for oracle comparisons.
     defocus = stream.take(2) if cam.defocus_angle > 0 else None
     origins, dirs = generate_rays(vp, cam.width, cam.height, jitter, defocus)
+    stats = None
     if cfg.morton_order:
         # Z-order the wavefront for tile coherence (ops/morton.py); the
         # stream is permuted identically so the image is bit-identical.
@@ -728,15 +731,25 @@ def trace_image_sample(closest_hit: HitFn, lights: Lights,
                                         permute_rays, unpermute_image)
         perm, inv = morton_perm(cam.height, cam.width)
         origins, dirs = permute_rays(origins, dirs, perm)
-        radiance = unpermute_image(trace_wavefront(
+        out = trace_wavefront(
             closest_hit, lights, origins, dirs, PermutedStream(stream, perm),
-            cfg,
-        ), inv)
-    else:
-        radiance = trace_wavefront(
-            closest_hit, lights, origins, dirs, stream, cfg
+            cfg, return_stats=return_stats,
         )
-    return radiance.T.reshape(cam.height, cam.width, 3)
+        if return_stats:
+            out, stats = out
+        radiance = unpermute_image(out, inv)
+    else:
+        out = trace_wavefront(
+            closest_hit, lights, origins, dirs, stream, cfg,
+            return_stats=return_stats,
+        )
+        if return_stats:
+            out, stats = out
+        radiance = out
+    img = radiance.T.reshape(cam.height, cam.width, 3)
+    if return_stats:
+        return img, stats
+    return img
 
 
 def render(closest_hit: HitFn, lights: Lights, cam: CameraConfig,
