@@ -554,6 +554,95 @@ def config10_inverse_rendering():
          value=round(dt_b, 3), unit="s/step", vs_baseline=float(ok_b))
 
 
+def config11_nee_emitters():
+    """Next-event estimation toward Ke emitters (r5 capability; no
+    reference analog — Ke is parsed but never lit).  Times the NEE frame
+    against the hit-only frame on the same emissive scene and records
+    the noise drop: relative luminance std over K frames on emitter-lit
+    pixels.  NEE buys ~an order of magnitude in std (~two in variance /
+    sample count) for a modest frame-time premium (one extra shadow
+    query per active hit)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srt_tpu.config import CameraConfig, RenderConfig
+    from srt_tpu.models import mesh as mesh_mod
+    from srt_tpu.models.fastpath import make_render_plan
+    from srt_tpu.scene import Lights
+    from srt_tpu.utils import procgen
+    from srt_tpu.utils.flatten import flatten_models
+    from srt_tpu.utils.obj_loader import MaterialDef
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = 64 if (SMALL or not on_tpu) else 512
+    lamp = procgen.cube(
+        size=0.3, center=(0.9, 1.8, 0.6),
+        material=MaterialDef(diffuse=(0.0, 0.0, 0.0),
+                             specular=(0.0, 0.0, 0.0),
+                             emissive=(40.0, 32.0, 24.0)))
+    recv = procgen.cube(
+        size=2.2, center=(0.0, -0.4, 0.0),
+        material=MaterialDef(diffuse=(0.7, 0.7, 0.7),
+                             specular=(0.2, 0.2, 0.2)))
+    scene = mesh_mod.upload(flatten_models([recv, lamp], pad_to=128))
+    dim = Lights(position=jnp.asarray([[0.0, 500.0, 0.0]], jnp.float32),
+                 color=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+                 intensity=jnp.asarray([1e-6], jnp.float32))
+    cam = CameraConfig(width=size, height=size, origin=(0.0, 3.0, 2.5),
+                       look_at=(0.0, 0.6, 0.0))
+    k_frames = 4 if (SMALL or not on_tpu) else 16
+    keys = jax.random.split(jax.random.key(11), k_frames)
+
+    # Same composition for BOTH arms (full-width compact driver + the
+    # same hit fn) so the wall-clock ratio isolates NEE's own cost —
+    # make_render_plan would route the nee=False arm to the small-scene
+    # scan path and the comparison would mix drivers.
+    del make_render_plan
+    from srt_tpu.models.emitters import scene_emitters
+    from srt_tpu.models.wavefront_compact import trace_image_compact
+    from srt_tpu.ops.rng import KeyStream
+
+    method = "pallas" if on_tpu else "dense"
+    hit_fn = mesh_mod.mesh_hit_fn(scene, method=method)
+    em = scene_emitters(scene)
+    n = size * size
+    out = {}
+    for nee in (False, True):
+        cfg = RenderConfig(max_depth=3, rr_bounces=0, nee=nee,
+                           sort_bounces=True, uniform_use_spec=True)
+        f = jax.jit(lambda k, cfg=cfg, nee=nee: trace_image_compact(
+            hit_fn, dim, cam, cfg, KeyStream(k, n), (n, n, n),
+            return_stats=True, emitters=em if nee else None))
+        img, _, _ = f(keys[0])
+        jax.block_until_ready(img)
+        frames = []
+        t0 = time.perf_counter()
+        for k in keys:
+            img, _, ovf = f(k)
+            jax.block_until_ready(img)
+            assert int(ovf) == 0
+            frames.append(np.asarray(img))
+        dt = (time.perf_counter() - t0) / k_frames
+        out[nee] = (dt, np.stack(frames))
+
+    lum = out[False][1].sum(-1)
+    lit = lum.mean(0) > np.percentile(lum.mean(0), 80)
+    rel_std = {nee: float(out[nee][1].sum(-1).std(0)[lit].mean()
+                          / max(out[nee][1].sum(-1).mean(), 1e-9))
+               for nee in (False, True)}
+    assert np.isfinite(out[True][1]).all()
+    emit(metric=f"config11 NEE emissive {size}x{size} frame wall "
+                f"(nee on vs off)",
+         value=round(out[True][0] * 1e3, 1), unit="ms",
+         vs_baseline=round(out[True][0] / max(out[False][0], 1e-9), 3))
+    emit(metric="config11 NEE emitter-lit relative std (lower=better)",
+         value=round(rel_std[True], 4), unit="rel std",
+         vs_baseline=round(rel_std[True] / max(rel_std[False], 1e-9), 3))
+
+
 ALL = {
     "1": config1_oracle_parity,
     "2": config2_spheres_diff,
@@ -565,6 +654,7 @@ ALL = {
     "8": config8_streamed_large_scene,
     "9": config9_textured_headline,
     "10": config10_inverse_rendering,
+    "11": config11_nee_emitters,
 }
 
 if __name__ == "__main__":
